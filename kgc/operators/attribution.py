@@ -1,0 +1,79 @@
+"""op-18/20/30/31: attribution models — firstTouch, lastTouch, linear.
+
+Re-expresses the reference GraphGist's attribution Cypher
+(`MATCH (i)-[t:TOUCHED]->(a)-[:PART_OF]->(c), (i)-[:CONVERTED_BY]->(c)
+WHERE t.ts <= conv.ts ...`) as joins + ranking windows.
+
+Pinned semantics (SURVEY.md §2.4-A):
+- domain: individuals with ≥1 conversion (semi-join, op-20);
+- multiple conversions to the same campaign → the EARLIEST one counts;
+- qualifying touches: distinct (individual, activity, ts) TOUCHED events on
+  activities PART_OF the converted campaign with touch.ts <= conv.ts
+  (NULL-ts media touches never qualify — NULL fails the predicate);
+- firstTouch = min by (ts, activity), lastTouch = max by (ts, activity),
+  weight 1.0; linear = 1/n per qualifying touch, summing to 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conversions_of(triples: DataFrame) -> DataFrame:
+    """Earliest conversion per (individual, campaign)."""
+    return (
+        triples.filter(F.col("pred") == "CONVERTED_BY")
+        .groupBy(F.col("subj").alias("individual"), F.col("obj").alias("campaign"))
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+
+
+def qualifying_touches(triples: DataFrame, part_of: DataFrame) -> DataFrame:
+    """op-18: the as-of/range join. Equi-join on (individual, campaign) +
+    range predicate touch_ts <= conv_ts. part_of is a tiny dimension →
+    broadcast; the conversions side is one row per (ind, campaign) — the
+    equi component keeps Catalyst on a hash/sort-merge join, never BNLJ.
+    """
+    touches = (
+        triples.filter((F.col("pred") == "TOUCHED") & F.col("ts").isNotNull())
+        .select(F.col("subj").alias("individual"), F.col("obj").alias("activity"), F.col("ts"))
+        .dropDuplicates(["individual", "activity", "ts"])
+        .join(F.broadcast(part_of), "activity")
+    )
+    conv = conversions_of(triples)
+    return touches.join(conv, ["individual", "campaign"]).filter(F.col("ts") <= F.col("conv_ts"))
+
+
+def first_last_touch(qualifying: DataFrame) -> DataFrame:
+    """op-30: firstTouch + lastTouch edges (weight 1.0)."""
+    w_first = Window.partitionBy("individual", "campaign").orderBy(F.col("ts").asc(), F.col("activity").asc())
+    w_last = Window.partitionBy("individual", "campaign").orderBy(F.col("ts").desc(), F.col("activity").desc())
+    first = (
+        qualifying.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select("individual", "campaign", "activity", F.lit("firstTouch").alias("model"),
+                F.lit(1.0).alias("weight"), "ts")
+    )
+    last = (
+        qualifying.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("individual", "campaign", "activity", F.lit("lastTouch").alias("model"),
+                F.lit(1.0).alias("weight"), "ts")
+    )
+    return first.unionByName(last)
+
+
+def linear_weights(qualifying: DataFrame) -> DataFrame:
+    """op-31: every qualifying touch gets 1/n (n per (individual, campaign))."""
+    w = Window.partitionBy("individual", "campaign")
+    return qualifying.select(
+        "individual", "campaign", "activity", F.lit("linear").alias("model"),
+        (F.lit(1.0) / F.count("*").over(w)).alias("weight"), "ts",
+    )
+
+
+def attribute(triples: DataFrame, part_of: DataFrame) -> DataFrame:
+    """All three models → ATTRIBUTIONS table."""
+    q = qualifying_touches(triples, part_of)
+    return first_last_touch(q).unionByName(linear_weights(q))

@@ -1,0 +1,195 @@
+"""op-16/17/22/23/24/26/37: Otsuka–Ochiai binary cosine similarity.
+
+The reference GraphGist's headline computation: for individuals with binary
+touch profiles A, B over the activity universe, the OTU contingency table's
+`a = |A∩B|` and the Otsuka–Ochiai coefficient
+
+    similarity(A, B) = |A∩B| / sqrt(|A|·|B|)
+
+(Choi/Cha/Tappert 2010 taxonomy; equals cosine similarity of the 0/1
+vectors). Its Cypher does the full
+`MATCH (i1)-[:TOUCHED]->(x)<-[:TOUCHED]-(i2)` expansion — an inverted-index
+self-join. At 10^12-doc scale that join's output is Σ_act deg(act)², so this
+module ships three cooperating pieces:
+
+- **exact path (op-16/24)**: inverted-index self-join → one hash agg. Ground
+  truth for P/R; used outright at small scale.
+- **LSH path (op-17)**: minhash signatures (b bands × r rows, builtin
+  higher-order functions — hashes never leave the JVM) → banded self-join →
+  exact re-scoring of surviving candidate pairs with `array_intersect` on the
+  full profiles. Emitted similarities are EXACT; only the candidate set is
+  approximate. Tuned so pair P/R ≥ 0.95 vs op-16 (SURVEY.md §4.3).
+- **hot-activity stop-list (op-26)**: an activity touched by >f% of
+  individuals contributes O((f·n)²) candidate pairs and ~no ranking signal
+  (a near-universal bit barely affects Otsuka–Ochiai ordering); such
+  activities are excluded from *blocking* (pair generation) but ALWAYS kept
+  in profiles/degrees, so scored similarities stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Banding tuned for the kNN use case: recall ≥0.95 on pairs with
+# Otsuka–Ochiai ≥ 0.5 (≈ Jaccard ≥ 1/3). P[candidate] = 1-(1-j^r)^b:
+# r=2, b=16 → 0.94 at j=0.4, 0.99 at j=0.5. The EXACT path is the emitted
+# SIMILAR_TO table (P/R gate); LSH is the 10^12-scale candidate generator.
+DEFAULT_BANDS = 32
+DEFAULT_ROWS = 2
+# Stop-list only near-universal activities: a bit shared by >50% of profiles
+# is ~uninformative for Otsuka–Ochiai ranking but quadratic for blocking.
+HOT_FRACTION = 0.50
+
+
+def touch_items(triples: DataFrame) -> DataFrame:
+    """Distinct (individual, act_ord) pairs — the inverted-index base.
+    NULL-ts (media) touches count: the profile is *whether* A touched x."""
+    return (
+        triples.filter(F.col("pred") == "TOUCHED")
+        .select(
+            F.col("subj").alias("individual"),
+            F.regexp_extract("obj", r"act-(\d+)", 1).cast("int").alias("act"),
+        )
+        .dropDuplicates(["individual", "act"])
+    )
+
+
+def build_profiles(items: DataFrame) -> DataFrame:
+    """op-23: sorted distinct activity ordinals per individual + degree."""
+    return items.groupBy("individual").agg(
+        F.array_sort(F.collect_set("act")).alias("acts"),
+        F.countDistinct("act").cast("int").alias("deg"),
+    )
+
+
+def profile_degree(items: DataFrame) -> DataFrame:
+    """op-22: |A| per individual."""
+    return items.groupBy("individual").agg(F.countDistinct("act").cast("int").alias("deg"))
+
+
+def hot_activities(items: DataFrame, fraction: float = HOT_FRACTION) -> DataFrame:
+    """op-26: heavy-hitter activities (touched by > fraction of individuals).
+    Exact counts here; the documented 10^12-scale variant samples with
+    TABLESAMPLE — the stop-list only needs approximate membership."""
+    n_ind = items.select("individual").distinct().count()
+    return (
+        items.groupBy("act")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > fraction * n_ind)
+        .select("act")
+    )
+
+
+def candidate_pairs_exact(items: DataFrame) -> DataFrame:
+    """op-16 + op-24: exact co-touch pairs with intersection counts.
+
+    Carrying `deg` on the item rows means the pair aggregation yields
+    |A∩B|, |A|, |B| in ONE shuffle — no join back to profiles (the
+    reference's `size((i)-[:TOUCHED]->())` degree-lookup trick, columnar).
+    """
+    deg = profile_degree(items)
+    it = items.join(deg, "individual")
+    a = it.select(F.col("individual").alias("ind_a"), "act", F.col("deg").alias("deg_a"))
+    b = it.select(F.col("individual").alias("ind_b"), "act", F.col("deg").alias("deg_b"))
+    return (
+        a.join(b, "act")
+        .filter(F.col("ind_a") < F.col("ind_b"))
+        .groupBy("ind_a", "ind_b")
+        .agg(F.count("*").alias("inter"), F.max("deg_a").alias("deg_a"), F.max("deg_b").alias("deg_b"))
+    )
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """R11: similarity = |A∩B| / sqrt(|A|·|B|) — SIMILAR_TO edges."""
+    return pairs.select(
+        "ind_a",
+        "ind_b",
+        (F.col("inter") / F.sqrt(F.col("deg_a").cast("double") * F.col("deg_b"))).alias("similarity"),
+    )
+
+
+def similar_to_exact(triples: DataFrame) -> DataFrame:
+    return score_pairs(candidate_pairs_exact(touch_items(triples)))
+
+
+# ---------------------------------------------------------------------------
+# LSH path
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(profiles: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS) -> DataFrame:
+    """Minhash signature per profile, entirely in builtin higher-order
+    functions: sig[i] = min over acts of xxhash64(seed=i, act)."""
+    n = bands * rows
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.array_min(F.transform(F.col("acts"), lambda a: F.xxhash64(i, a))),
+    )
+    return profiles.withColumn("minhash", sig)
+
+
+def band_keys(signed: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS) -> DataFrame:
+    """Explode signatures into (band_idx, band_hash) blocking keys."""
+    bands_col = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(j, F.slice(F.col("minhash"), j * rows + 1, rows)),
+    )
+    return signed.select(
+        "individual", "acts", "deg", F.posexplode(bands_col).alias("band_idx", "band_hash")
+    )
+
+
+def candidate_pairs_lsh(
+    triples: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    stoplist: DataFrame | None = None,
+) -> DataFrame:
+    """op-17: banded self-join candidates, exact re-score (§2.4-B: emitted
+    similarity values are exact; only pair recall is probabilistic).
+
+    Blocking profiles exclude stop-listed hot activities; full profiles are
+    used for scoring so values match the exact path on every emitted pair.
+    """
+    items = touch_items(triples)
+    profiles = build_profiles(items)
+    block_items = items if stoplist is None else items.join(stoplist, "act", "left_anti")
+    block_profiles = (
+        block_items.groupBy("individual").agg(F.array_sort(F.collect_set("act")).alias("acts"))
+        .withColumn("deg", F.size("acts"))
+    )
+    banded = band_keys(minhash_signatures(block_profiles, bands, rows), bands, rows)
+    a = banded.select(F.col("individual").alias("ind_a"), F.col("band_idx"), F.col("band_hash"))
+    b = banded.select(F.col("individual").alias("ind_b"), F.col("band_idx"), F.col("band_hash"))
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("ind_a") < F.col("ind_b"))
+        .select("ind_a", "ind_b")
+        .dropDuplicates(["ind_a", "ind_b"])
+    )
+    pa = profiles.select(F.col("individual").alias("ind_a"), F.col("acts").alias("acts_a"), F.col("deg").alias("deg_a"))
+    pb = profiles.select(F.col("individual").alias("ind_b"), F.col("acts").alias("acts_b"), F.col("deg").alias("deg_b"))
+    scored = (
+        cand.join(pa, "ind_a")
+        .join(pb, "ind_b")
+        .withColumn("inter", F.size(F.array_intersect("acts_a", "acts_b")))
+        .filter(F.col("inter") >= 1)
+    )
+    return score_pairs(scored.select("ind_a", "ind_b", "inter", "deg_a", "deg_b"))
+
+
+def pr_eval(got: DataFrame, want: DataFrame, keys: list[str]) -> dict[str, float]:
+    """op-37: precision/recall of `got` vs `want` on `keys`."""
+    g = got.select(*keys).distinct()
+    w = want.select(*keys).distinct()
+    tp = g.intersect(w).count()
+    n_got = g.count()
+    n_want = w.count()
+    return {
+        "precision": tp / n_got if n_got else 1.0,
+        "recall": tp / n_want if n_want else 1.0,
+        "tp": float(tp),
+        "got": float(n_got),
+        "want": float(n_want),
+    }

@@ -1,0 +1,164 @@
+"""Pipeline stage DAG (SURVEY.md §3.2) — the spark-submit entry point.
+
+Stages: ingest → extract → link → canonicalize → attribute → similarity →
+recommend. Each stage checkpoints to ``<workdir>/<stage>/`` with a manifest
+binding it to its input fingerprint (op-03) and records per-partition
+lineage metrics (op-05); a re-run skips stages whose manifests still match
+(resumable restarts).
+
+Usage:
+    spark-submit --py-files kgc.zip kgc/plans/run.py \
+        --sf 0.01 --workdir /tmp/kgc_run --stage all [--force] [--exact-sim]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgc.operators.attribution import attribute
+from kgc.operators.canon import entities_canon_map, salted_dedup
+from kgc.operators.extract import extract_mentions
+from kgc.operators.link import link_mentions, mentions_to_long
+from kgc.operators.recommend import recommend
+from kgc.operators.similarity import (
+    candidate_pairs_lsh,
+    hot_activities,
+    similar_to_exact,
+    touch_items,
+)
+from kgc.operators.spans import explode_spans
+from kgc.operators.triples import assemble_triples, canonical_triples
+from kgc.plans.metrics import emit_metrics
+from kgc.sources import catalog as cat
+from kgc.sources.synth import alias_catalog, alias_edges, part_of_dim, synth_documents
+
+
+def _stage(
+    spark: SparkSession,
+    workdir: str,
+    name: str,
+    input_fp: str,
+    build,
+    bucket_by: str | None = None,
+    force: bool = False,
+) -> DataFrame:
+    path = os.path.join(workdir, name)
+    if not force:
+        cached = cat.resume(spark, path, name, input_fp)
+        if cached is not None:
+            print(f"[kgc] stage {name}: resumed from checkpoint")
+            return cached
+    t0 = time.time()
+    df = build()
+    out = cat.checkpoint(df, path, name, input_fp, bucket_by=bucket_by)
+    emit_metrics(out, name, os.path.join(workdir, "stage_metrics"))
+    print(f"[kgc] stage {name}: computed in {time.time() - t0:.1f}s")
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    workdir: str,
+    sf: float,
+    docs: DataFrame | None = None,
+    force: bool = False,
+    lsh_sim: bool = False,
+    input_fp: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run all stages; returns the materialized tables."""
+    os.makedirs(workdir, exist_ok=True)
+    fp = input_fp or f"synth-sf{sf}-seed42"
+    catalog_df = alias_catalog(spark, sf)
+    part_of = part_of_dim(spark)
+
+    docs_df = _stage(
+        spark, workdir, "ingest", fp,
+        (lambda: docs) if docs is not None else (lambda: synth_documents(spark, sf)),
+        bucket_by="doc_id", force=force,
+    )
+    mentions = _stage(
+        spark, workdir, "extract", fp,
+        lambda: extract_mentions(explode_spans(docs_df)),
+        bucket_by="doc_id", force=force,
+    )
+    linked = _stage(
+        spark, workdir, "link", fp,
+        lambda: link_mentions(mentions_to_long(mentions), catalog_df),
+        bucket_by="doc_id", force=force,
+    )
+    canon_map = _stage(
+        spark, workdir, "canonicalize", fp,
+        lambda: entities_canon_map(salted_dedup(alias_edges(catalog_df), ["src", "dst"])),
+        force=force,
+    )
+    triples = _stage(
+        spark, workdir, "triples", fp,
+        lambda: canonical_triples(assemble_triples(linked), canon_map),
+        bucket_by="subj", force=force,
+    )
+    attributions = _stage(
+        spark, workdir, "attribute", fp,
+        lambda: attribute(triples, part_of),
+        force=force,
+    )
+
+    def build_similar():
+        # Default: exact blocked self-join (blocking key = activity) — the
+        # GraphGist's own co-touch semantics, P/R gate target. --lsh-sim
+        # switches to the banded candidate generator (10^12-scale path for
+        # the kNN consumer; recall tuned for similarity >= 0.5 pairs).
+        if lsh_sim:
+            stop = hot_activities(touch_items(triples))
+            return candidate_pairs_lsh(triples, stoplist=stop)
+        return similar_to_exact(triples)
+
+    similar = _stage(spark, workdir, "similarity", fp, build_similar, force=force)
+    recs = _stage(
+        spark, workdir, "recommend", fp,
+        lambda: recommend(triples, similar),
+        force=force,
+    )
+    return {
+        "documents": docs_df,
+        "mentions": mentions,
+        "linked": linked,
+        "entities_canon": canon_map,
+        "triples": triples,
+        "attributions": attributions,
+        "similar_to": similar,
+        "recommendations": recs,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.001)
+    ap.add_argument("--workdir", default="/tmp/kgc_run")
+    ap.add_argument("--stage", default="all")  # reserved: all stages always resolve via manifests
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--lsh-sim", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from kgc.session import get_spark
+
+    spark = get_spark(app_name=f"kgc-sf{args.sf}", cpus=args.cpus)
+    t0 = time.time()
+    tables = run_pipeline(spark, args.workdir, args.sf, force=args.force, lsh_sim=args.lsh_sim)
+    n_triples = tables["triples"].count()
+    wall = time.time() - t0
+    print(json.dumps({"sf": args.sf, "triples": n_triples, "wall_sec": round(wall, 2),
+                      "triples_per_sec": round(n_triples / wall, 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

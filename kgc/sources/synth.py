@@ -1,0 +1,289 @@
+"""op-04: deterministic synthetic interleaved-document corpus + closed-form
+ground truth (SURVEY.md §5.3, FIXTURES.md §B).
+
+The reference repo (graphadvantage/neo4j-binary-cosine-similarity) ships a
+Jupyter-notebook generator that random.choice()'s a few hundred individuals,
+campaigns, activities and timestamped touches into Neo4j. This is the
+scale-ready re-expression: every value is a pure function of
+``(SEED, doc_num, span_idx, tag)`` through ``xxhash64``/``pmod`` — no RNG
+state, no ``rand()``, no ``monotonically_increasing_id()`` — so output is
+identical under any partitioning/parallelism (SURVEY.md §2.4-E), generation is
+a single ``spark.range`` + builtin column expressions (no per-row Python), and
+ground-truth triples are derivable from the same hidden columns without
+running extraction.
+
+Content model (what extraction must recover):
+- text spans carry templated sentences:
+    touch:      "{IND} opened email {ACT} of campaign {CMP} at {TS}."
+    conversion: "campaign {CMP} converted {IND} at {TS}."
+    purchase:   "{IND} purchased {PRD} at {TS}."
+    filler:     entity-free sentences (negative examples)
+- individual surfaces rotate through 3 alias forms
+  ("I-0423" / "ind_0423" / "Individual #423") to exercise canonicalization.
+- media spans: media_ref = "s3://media/{img|vid}_<hex>[_act-NNN].{png|mp4}",
+  text = NULL except ~30% carry alt-text "photo of {IND} at webinar {ACT}."
+  → a TOUCHED triple with NULL ts (media touches count toward similarity
+  profiles but never qualify for attribution — pinned semantics).
+- individuals have a segment (ind % 10) biasing 80% of touches into a
+  50-activity block → clustered similarity structure.
+- activity act-000 is hot (~10% of touches) → planted skew for T6.
+- planted edge cases at every SF: doc 0 empty spans; doc 1 media-only;
+  doc 2 zero-mention text; individuals with ind%10 >= 8 never convert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+SEED = 42
+N_CAMPAIGNS = 50
+ACTS_PER_CAMPAIGN = 10
+N_ACTIVITIES = N_CAMPAIGNS * ACTS_PER_CAMPAIGN  # 500
+N_PRODUCTS = 200
+EPOCH0 = 1735689600  # 2025-01-01T00:00:00Z
+TS_RANGE = 180 * 86400
+
+FILLERS = [
+    "The quarterly report shows steady growth across regions.",
+    "Weather stayed mild throughout the conference week.",
+    "Budget review meetings continue on the usual cadence.",
+    "The newsletter redesign shipped without incident.",
+]
+
+
+def n_docs_for(sf: float) -> int:
+    return max(10, round(1_000_000 * sf))
+
+
+def n_individuals_for(sf: float) -> int:
+    return max(200, round(20_000 * sf))
+
+
+def _h(*cols) -> Column:
+    """Deterministic 64-bit hash of (SEED, *cols)."""
+    return F.xxhash64(F.lit(SEED), *[c if isinstance(c, Column) else F.lit(c) for c in cols])
+
+
+def _pm(col: Column, n: int) -> Column:
+    return F.pmod(col, F.lit(n))
+
+
+def synth_spans_internal(spark: SparkSession, sf: float) -> DataFrame:
+    """Exploded spans WITH hidden ground-truth columns.
+
+    Public columns: doc_id, span_idx, kind, text, media_ref, offset.
+    Hidden GT columns: tmpl ('touch'|'conversion'|'purchase'|'filler'|
+    'media'|'media_touch'), ind_id, act_id, cmp_id, prd_id, ts.
+    """
+    n_docs = n_docs_for(sf)
+    n_ind = n_individuals_for(sf)
+    d = F.col("doc_num")
+    s = F.col("span_idx")
+
+    base = (
+        spark.range(1, n_docs)  # doc 0 planted as the empty-spans doc
+        .withColumnRenamed("id", "doc_num")
+        .withColumn("n_spans", (F.lit(4) + _pm(_h(F.col("doc_num"), "nspans"), 9)).cast("int"))
+        .select("doc_num", F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_idx", "_z"))
+        .drop("_z")
+        .withColumn("span_idx", F.col("span_idx").cast("int"))
+    )
+
+    is_media = F.when(d == 1, F.lit(True)).otherwise(_pm(_h(d, s, "kind"), 4) == 3)
+
+    # --- entity draws ------------------------------------------------------
+    ind = _pm(_h(d, s, "ind"), n_ind)
+    seg = _pm(ind, 10)
+    # 80% of touches land in the individual's segment block of 50 activities;
+    # activity 0 is hot (~10% of all touches) — planted skew.
+    act_raw = F.when(
+        _pm(_h(d, s, "actsel"), 10) < 8, seg * 50 + _pm(_h(d, s, "act"), 50)
+    ).otherwise(_pm(_h(d, s, "act"), N_ACTIVITIES))
+    act = F.when(_pm(_h(d, s, "hot"), 10) == 0, F.lit(0)).otherwise(act_raw)
+    cmp_of_act = F.floor(act / ACTS_PER_CAMPAIGN).cast("int")  # PART_OF dimension
+    cmp_conv = F.when(
+        _pm(_h(d, s, "cmpsel"), 10) < 8, seg * 5 + _pm(_h(d, s, "cmp"), 5)
+    ).otherwise(_pm(_h(d, s, "cmp"), N_CAMPAIGNS))
+    prd = _pm(_h(d, s, "prd"), N_PRODUCTS)
+
+    epoch = F.lit(EPOCH0) + _pm(_h(d, s, "ts"), TS_RANGE)
+    ts = F.to_timestamp(F.from_unixtime(epoch))
+    ts_str = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+    # --- surfaces ----------------------------------------------------------
+    ind4 = F.lpad(ind.cast("string"), 4, "0")
+    alias_form = _pm(_h(d, s, "alias"), 3)
+    ind_surface = (
+        F.when(alias_form == 0, F.concat(F.lit("I-"), ind4))
+        .when(alias_form == 1, F.concat(F.lit("ind_"), ind4))
+        .otherwise(F.concat(F.lit("Individual #"), ind.cast("string")))
+    )
+    act_surface = F.concat(F.lit("act-"), F.lpad(act.cast("string"), 3, "0"))
+    cmp_touch_surface = F.concat(F.lit("cmp-"), F.lpad(cmp_of_act.cast("string"), 2, "0"))
+    cmp_conv_surface = F.concat(F.lit("cmp-"), F.lpad(cmp_conv.cast("string"), 2, "0"))
+    prd_surface = F.concat(F.lit("prd-"), F.lpad(prd.cast("string"), 4, "0"))
+
+    # --- template selection ------------------------------------------------
+    # text spans: 8 slots → 0-3 touch, 4 conversion (gated), 5 purchase, 6-7 filler
+    slot = _pm(_h(d, s, "tmpl"), 8)
+    convertible = _pm(ind, 10) < 8  # ind%10 in {8,9} never converts
+    tmpl_text = (
+        F.when(d == 2, F.lit("filler"))
+        .when(slot <= 3, F.lit("touch"))
+        .when((slot == 4) & convertible, F.lit("conversion"))
+        .when(slot == 4, F.lit("filler"))
+        .when(slot == 5, F.lit("purchase"))
+        .otherwise(F.lit("filler"))
+    )
+    has_alt = _pm(_h(d, s, "alt"), 10) < 3
+    tmpl = F.when(is_media & has_alt, F.lit("media_touch")).when(is_media, F.lit("media")).otherwise(tmpl_text)
+
+    filler_sentence = F.element_at(
+        F.array(*[F.lit(x) for x in FILLERS]), (_pm(_h(d, s, "fill"), len(FILLERS)) + 1).cast("int")
+    )
+    text = (
+        F.when(
+            tmpl == "touch",
+            F.concat(
+                ind_surface, F.lit(" opened email "), act_surface, F.lit(" of campaign "),
+                cmp_touch_surface, F.lit(" at "), ts_str, F.lit("."),
+            ),
+        )
+        .when(
+            tmpl == "conversion",
+            F.concat(
+                F.lit("campaign "), cmp_conv_surface, F.lit(" converted "), ind_surface,
+                F.lit(" at "), ts_str, F.lit("."),
+            ),
+        )
+        .when(
+            tmpl == "purchase",
+            F.concat(ind_surface, F.lit(" purchased "), prd_surface, F.lit(" at "), ts_str, F.lit(".")),
+        )
+        .when(tmpl == "filler", filler_sentence)
+        .when(tmpl == "media_touch", F.concat(F.lit("photo of "), ind_surface, F.lit(" at webinar "), act_surface, F.lit(".")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    media_kind = F.when(_pm(_h(d, s, "mk"), 2) == 0, F.lit("img")).otherwise(F.lit("vid"))
+    media_ext = F.when(media_kind == "img", F.lit("png")).otherwise(F.lit("mp4"))
+    media_ref = F.when(
+        is_media,
+        F.concat(
+            F.lit("s3://media/"), media_kind, F.lit("_"), F.lower(F.hex(_h(d, s, "mh"))),
+            F.when(tmpl == "media_touch", F.concat(F.lit("_"), act_surface)).otherwise(F.lit("")),
+            F.lit("."), media_ext,
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+
+    kind = F.when(~is_media, F.lit("text")).when(media_kind == "img", F.lit("image")).otherwise(F.lit("video"))
+
+    df = base.select(
+        "doc_num",
+        F.format_string("doc-%010d", d).alias("doc_id"),
+        "span_idx",
+        kind.alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        tmpl.alias("tmpl"),
+        # hidden GT (only meaningful for mention templates)
+        F.format_string("ind-%04d", ind).alias("ind_id"),
+        act_surface.alias("act_id"),
+        F.when(tmpl == "conversion", cmp_conv_surface).otherwise(cmp_touch_surface).alias("cmp_id"),
+        prd_surface.alias("prd_id"),
+        F.when(tmpl.isin("touch", "conversion", "purchase"), ts).alias("ts"),
+    )
+
+    # Running character offset — strictly increasing within each doc.
+    span_len = F.length(F.coalesce(F.col("text"), F.lit(""))) + F.length(F.coalesce(F.col("media_ref"), F.lit(""))) + 1
+    w = W.partitionBy("doc_id").orderBy("span_idx").rowsBetween(W.unboundedPreceding, -1)
+    return df.withColumn("offset", F.coalesce(F.sum(span_len).over(w), F.lit(0)).cast("int"))
+
+
+def synth_documents(spark: SparkSession, sf: float) -> DataFrame:
+    """The public input table — exactly the BASELINE.json input_hint shape."""
+    from kgc.operators.spans import reassemble_spans
+
+    spans = synth_spans_internal(spark, sf).select("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+    all_docs = spark.range(n_docs_for(sf)).select(F.format_string("doc-%010d", F.col("id")).alias("doc_id"))
+    return reassemble_spans(spans, all_docs=all_docs)
+
+
+def ground_truth_triples(spark: SparkSession, sf: float) -> DataFrame:
+    """Closed-form oracle triples — derived from hidden generator columns,
+    NOT by running extraction. Subjects are canonical individual ids."""
+    sp = synth_spans_internal(spark, sf)
+    t = F.col("tmpl")
+    return sp.filter(t.isin("touch", "media_touch", "conversion", "purchase")).select(
+        F.col("ind_id").alias("subj"),
+        F.when(t.isin("touch", "media_touch"), F.lit("TOUCHED"))
+        .when(t == "conversion", F.lit("CONVERTED_BY"))
+        .otherwise(F.lit("PURCHASED"))
+        .alias("pred"),
+        F.when(t.isin("touch", "media_touch"), F.col("act_id"))
+        .when(t == "conversion", F.col("cmp_id"))
+        .otherwise(F.col("prd_id"))
+        .alias("obj"),
+        F.col("ts"),
+        F.col("doc_id"),
+        F.col("span_idx"),
+    )
+
+
+def alias_catalog(spark: SparkSession, sf: float) -> DataFrame:
+    """Entity catalog for link-join (op-14) + alias-equivalence edges for CC.
+
+    Individuals have 3 alias entity ids per canonical id; the two non-canonical
+    ids are suffixed so the lexicographic component-min is the canonical form
+    (SURVEY.md §2.4-F). surface_key is the op-11 normalized surface.
+    """
+    n_ind = n_individuals_for(sf)
+    ind = spark.range(n_ind).select(F.col("id").alias("n"))
+    ind4 = F.lpad(F.col("n").cast("string"), 4, "0")
+    canon = F.concat(F.lit("ind-"), ind4)
+    individuals = ind.select(
+        F.explode(
+            F.array(
+                F.struct(F.concat(F.lit("i "), ind4).alias("surface_key"), canon.alias("entity_id")),
+                F.struct(F.concat(F.lit("ind "), ind4).alias("surface_key"), F.concat(canon, F.lit("#a1")).alias("entity_id")),
+                F.struct(F.concat(F.lit("individual "), F.col("n").cast("string")).alias("surface_key"), F.concat(canon, F.lit("#a2")).alias("entity_id")),
+            )
+        ).alias("e")
+    ).select("e.surface_key", "e.entity_id", F.lit("individual").alias("entity_type"))
+
+    acts = spark.range(N_ACTIVITIES).select(
+        F.concat(F.lit("act "), F.lpad(F.col("id").cast("string"), 3, "0")).alias("surface_key"),
+        F.format_string("act-%03d", F.col("id")).alias("entity_id"),
+        F.lit("activity").alias("entity_type"),
+    )
+    cmps = spark.range(N_CAMPAIGNS).select(
+        F.concat(F.lit("cmp "), F.lpad(F.col("id").cast("string"), 2, "0")).alias("surface_key"),
+        F.format_string("cmp-%02d", F.col("id")).alias("entity_id"),
+        F.lit("campaign").alias("entity_type"),
+    )
+    prds = spark.range(N_PRODUCTS).select(
+        F.concat(F.lit("prd "), F.lpad(F.col("id").cast("string"), 4, "0")).alias("surface_key"),
+        F.format_string("prd-%04d", F.col("id")).alias("entity_id"),
+        F.lit("product").alias("entity_type"),
+    )
+    return individuals.unionByName(acts).unionByName(cmps).unionByName(prds)
+
+
+def alias_edges(catalog: DataFrame) -> DataFrame:
+    """Equivalence edges between alias entity ids of the same individual:
+    (canonical, canonical#a1), (canonical, canonical#a2) — CC input (op-28)."""
+    alt = catalog.filter(F.col("entity_id").contains("#"))
+    return alt.select(
+        F.split(F.col("entity_id"), "#").getItem(0).alias("src"),
+        F.col("entity_id").alias("dst"),
+    )
+
+
+def part_of_dim(spark: SparkSession) -> DataFrame:
+    """(activity, PART_OF, campaign) dimension: campaign = act // 10."""
+    return spark.range(N_ACTIVITIES).select(
+        F.format_string("act-%03d", F.col("id")).alias("activity"),
+        F.format_string("cmp-%02d", F.floor(F.col("id") / ACTS_PER_CAMPAIGN)).alias("campaign"),
+    )

@@ -1,0 +1,184 @@
+"""T1: per-operator unit tests on hand-written micro-fixtures (SURVEY.md §5.1)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc.functions.text import block_key, normalize_surface
+from kgc.operators.attribution import attribute, conversions_of, qualifying_touches
+from kgc.operators.canon import connected_components, salted_dedup
+from kgc.operators.extract import detect_mentions_udf, extract_media_mentions, extract_mentions
+from kgc.operators.recommend import recommend, topk_neighbors
+from kgc.operators.similarity import score_pairs, similar_to_exact, touch_items
+from kgc.operators.spans import explode_spans, reassemble_spans, span_sequence_fingerprint
+from kgc.schemas import DOCS, TRIPLES
+
+TS = datetime.datetime
+
+
+def mk_docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS)
+
+
+DOC_ROWS = [
+    ("d1", [("text", "I-0001 opened email act-003 of campaign cmp-00 at 2025-01-05T10:00:00Z.", None, 0),
+            ("image", None, "s3://media/img_ab.png", 80),
+            ("text", "campaign cmp-00 converted ind_0001 at 2025-02-01T00:00:00Z.", None, 120)]),
+    ("d2", [("video", "photo of Individual #2 at webinar act-010.", "s3://media/vid_cd_act-010.mp4", 0)]),
+    ("d3", []),
+]
+
+
+class TestSpans:
+    def test_explode_reassemble_roundtrip(self, spark):
+        docs = mk_docs(spark, DOC_ROWS)
+        flat = explode_spans(docs)
+        assert flat.count() == 4
+        back = reassemble_spans(flat, all_docs=docs)
+        a = {r["doc_id"]: r["span_fp"] for r in span_sequence_fingerprint(docs).collect()}
+        b = {r["doc_id"]: r["span_fp"] for r in span_sequence_fingerprint(back).collect()}
+        assert a == b  # span-sequence invariant: kind, text, media_ref, order
+
+    def test_empty_doc_preserved(self, spark):
+        docs = mk_docs(spark, DOC_ROWS)
+        back = reassemble_spans(explode_spans(docs), all_docs=docs)
+        row = back.filter("doc_id = 'd3'").collect()[0]
+        assert row["spans"] == []
+
+
+class TestExtract:
+    def test_map_in_pandas_extraction(self, spark):
+        m = extract_mentions(explode_spans(mk_docs(spark, DOC_ROWS)))
+        rows = {(r["doc_id"], r["mention_type"]): r for r in m.collect()}
+        assert rows[("d1", "touch")]["ind_surface"] == "I-0001"
+        assert rows[("d1", "touch")]["act_surface"] == "act-003"
+        assert rows[("d1", "conversion")]["ind_surface"] == "ind_0001"
+        assert rows[("d2", "media_touch")]["ind_surface"] == "Individual #2"
+        assert rows[("d2", "media_touch")]["ts_str"] is None
+
+    def test_scalar_udf_matches(self, spark):
+        df = spark.createDataFrame(
+            [("I-0001 opened email act-003 of campaign cmp-00 at 2025-01-05T10:00:00Z.",), (None,), ("no mentions here",)],
+            "text string",
+        )
+        out = df.select(detect_mentions_udf("text").alias("m")).collect()
+        assert len(out[0]["m"]) == 1 and out[0]["m"][0]["mention_type"] == "touch"
+        assert out[1]["m"] == [] and out[2]["m"] == []
+
+    def test_media_ref_mentions(self, spark):
+        m = extract_media_mentions(explode_spans(mk_docs(spark, DOC_ROWS)))
+        assert [r["act_surface"] for r in m.collect()] == ["act-010"]
+
+
+class TestNormalize:
+    def test_surface_forms_collide(self, spark):
+        df = spark.createDataFrame([("I-0423",), ("ind_0423",), ("Individual #423",)], "s string")
+        keys = [r[0] for r in df.select(block_key("s")).collect()]
+        assert keys == ["i423", "i423", "i423"]
+        norm = [r[0] for r in df.select(normalize_surface("s")).collect()]
+        assert norm == ["i 0423", "ind 0423", "individual 423"]
+
+
+class TestCC:
+    def test_two_components_and_chain(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+        )
+        cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_idempotent_and_permutation_invariant(self, spark):
+        e1 = spark.createDataFrame([("n3", "n1"), ("n2", "n3")], "src string, dst string")
+        e2 = spark.createDataFrame([("n2", "n3"), ("n3", "n1")], "src string, dst string")
+        c1 = sorted(map(tuple, connected_components(e1).collect()))
+        c2 = sorted(map(tuple, connected_components(e2).collect()))
+        assert c1 == c2
+        assert all(comp == "n1" for _, comp in c1)
+
+    def test_salted_dedup(self, spark):
+        df = spark.createDataFrame([("k1", 1), ("k1", 1), ("k1", 2), ("k2", 9)], "k string, v int")
+        assert salted_dedup(df, ["k", "v"], n_salt=4).count() == 3
+        assert salted_dedup(df, ["k"], n_salt=4).count() == 2
+
+
+def mk_triples(spark, rows):
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+class TestAttribution:
+    def test_pinned_semantics(self, spark):
+        t = mk_triples(spark, [
+            # ind A: touches act-000 (cmp-00) at t1, act-001 (cmp-00) at t2, converts cmp-00 at t3
+            ("A", "TOUCHED", "act-000", TS(2025, 1, 1), "d", 0),
+            ("A", "TOUCHED", "act-001", TS(2025, 1, 2), "d", 1),
+            ("A", "TOUCHED", "act-002", TS(2025, 3, 1), "d", 2),  # after conv — not qualifying
+            ("A", "CONVERTED_BY", "cmp-00", TS(2025, 2, 1), "d", 3),
+            ("A", "CONVERTED_BY", "cmp-00", TS(2025, 4, 1), "d", 4),  # later conv ignored (earliest wins)
+            # ind B: converts but zero qualifying touches
+            ("B", "CONVERTED_BY", "cmp-01", TS(2025, 1, 1), "d", 5),
+            # ind C: touches but never converts
+            ("C", "TOUCHED", "act-000", TS(2025, 1, 1), "d", 6),
+            # media touch with NULL ts never qualifies
+            ("A", "TOUCHED", "act-003", None, "d", 7),
+        ])
+        part_of = spark.createDataFrame(
+            [("act-000", "cmp-00"), ("act-001", "cmp-00"), ("act-002", "cmp-00"), ("act-003", "cmp-00")],
+            "activity string, campaign string",
+        )
+        att = attribute(t, part_of).collect()
+        by_model = {}
+        for r in att:
+            by_model.setdefault(r["model"], []).append(r)
+        assert {r["activity"] for r in by_model["firstTouch"]} == {"act-000"}
+        assert {r["activity"] for r in by_model["lastTouch"]} == {"act-001"}
+        linear = {r["activity"]: r["weight"] for r in by_model["linear"]}
+        assert linear == {"act-000": 0.5, "act-001": 0.5}
+        assert all(r["individual"] == "A" for r in att)  # B: no qualifying; C: no conversion
+
+    def test_tie_break_on_equal_ts(self, spark):
+        t = mk_triples(spark, [
+            ("A", "TOUCHED", "act-001", TS(2025, 1, 1), "d", 0),
+            ("A", "TOUCHED", "act-000", TS(2025, 1, 1), "d", 1),
+            ("A", "CONVERTED_BY", "cmp-00", TS(2025, 2, 1), "d", 2),
+        ])
+        part_of = spark.createDataFrame(
+            [("act-000", "cmp-00"), ("act-001", "cmp-00")], "activity string, campaign string"
+        )
+        att = {r["model"]: r["activity"] for r in attribute(t, part_of).collect() if r["model"] != "linear"}
+        assert att == {"firstTouch": "act-000", "lastTouch": "act-001"}  # id ASC / id DESC
+
+
+class TestSimilarity:
+    def test_otsuka_ochiai_values(self, spark):
+        t = mk_triples(spark, [
+            ("A", "TOUCHED", "act-000", TS(2025, 1, 1), "d", 0),
+            ("A", "TOUCHED", "act-001", TS(2025, 1, 2), "d", 1),
+            ("B", "TOUCHED", "act-000", TS(2025, 1, 3), "d", 2),
+            ("B", "TOUCHED", "act-002", TS(2025, 1, 4), "d", 3),
+            ("C", "TOUCHED", "act-000", None, "d", 4),  # NULL-ts counts for profiles
+            ("C", "TOUCHED", "act-001", TS(2025, 1, 5), "d", 5),
+            ("D", "TOUCHED", "act-009", TS(2025, 1, 6), "d", 6),  # shares nothing
+            ("A", "TOUCHED", "act-000", TS(2025, 6, 1), "d", 7),  # dup act, distinct profile bit
+        ])
+        sim = {(r["ind_a"], r["ind_b"]): r["similarity"] for r in similar_to_exact(t).collect()}
+        assert sim[("A", "C")] == pytest.approx(1.0)  # identical profiles
+        assert sim[("A", "B")] == pytest.approx(1 / 2)
+        assert sim[("B", "C")] == pytest.approx(1 / 2)
+        assert len(sim) == 3  # D appears nowhere; pairs emitted once (a<b)
+
+
+class TestRecommend:
+    def test_pinned_knn(self, spark):
+        t = mk_triples(spark, [
+            ("B", "PURCHASED", "prd-0002", TS(2025, 1, 1), "d", 0),
+            ("B", "PURCHASED", "prd-0001", TS(2025, 1, 1), "d", 1),
+            ("C", "PURCHASED", "prd-0001", TS(2025, 1, 1), "d", 2),
+            ("A", "PURCHASED", "prd-0002", TS(2025, 1, 1), "d", 3),  # A owns prd-0002
+        ])
+        sim = spark.createDataFrame(
+            [("A", "B", 0.9), ("A", "C", 0.5)], "ind_a string, ind_b string, similarity double"
+        )
+        recs = recommend(t, sim).filter("individual = 'A'").collect()
+        assert [(r["product"], r["rank"]) for r in recs] == [("prd-0001", 1)]
+        assert recs[0]["score"] == pytest.approx(1.4)  # 0.9 + 0.5, own product anti-joined away
