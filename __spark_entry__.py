@@ -1,38 +1,880 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)        → flagship: end-to-end RECOMMEND derivation on sf0.001
+                      synthetic interleaved docs (SURVEY.md §3.3).
+queries()/oracle_sql() → one entry per implemented operator family
+                      (SURVEY.md §2.2); DuckDB oracles are independent ANSI
+                      SQL renderings of the same pinned semantics (§2.4).
+
+The KG-family oracles read the committed deterministic corpus under
+data/oracle/sf0.01/ (DuckDB cannot evaluate xxhash64, so the generator
+output is materialized once; both engines derive everything downstream
+independently — Spark via the real operators, DuckDB via SQL).
+
+Cross-engine hygiene: timestamps compared as epoch seconds (BIGINT),
+floating aggregates rounded (or decimal-exact) on BOTH sides, ranking always
+tie-broken on a unique id, column names aliased identically.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+ORACLE = os.path.join(REPO, "data", "oracle", "sf0.01")
+DOCS_PQ = os.path.join(ORACLE, "documents.parquet")
+EDGES_PQ = os.path.join(ORACLE, "alias_edges.parquet")
+TRIPLES_PQ = os.path.join(ORACLE, "triples.parquet")
+
+# DuckDB-side glob paths for the same files
+_D = f"read_parquet('{DOCS_PQ}/*.parquet')"
+_E = f"read_parquet('{EDGES_PQ}/*.parquet')"
+_T = f"read_parquet('{TRIPLES_PQ}/*.parquet')"
+
+
+def _ensure_kg(spark: SparkSession) -> None:
+    from kgc.plans.make_oracle_data import ensure_materialized
+
+    ensure_materialized(spark)
+
+
+def _docs(spark: SparkSession) -> DataFrame:
+    _ensure_kg(spark)
+    return spark.read.parquet(DOCS_PQ)
+
+
+def _triples(spark: SparkSession) -> DataFrame:
+    _ensure_kg(spark)
+    return spark.read.parquet(TRIPLES_PQ)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ===========================================================================
+# entry — flagship
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth sf0.001 interleaved docs → extract → link → canon →
+    similarity → kNN RECOMMEND edges. Driver checks rows>0, stable schema."""
+    from kgc.operators.canon import entities_canon_map, salted_dedup
+    from kgc.operators.extract import extract_mentions
+    from kgc.operators.link import link_mentions, mentions_to_long
+    from kgc.operators.recommend import recommend
+    from kgc.operators.similarity import similar_to_exact
+    from kgc.operators.spans import explode_spans
+    from kgc.operators.triples import assemble_triples, canonical_triples
+    from kgc.sources.synth import alias_catalog, alias_edges, synth_documents
+
+    sf = 0.001
+    docs = synth_documents(spark, sf)
+    catalog = alias_catalog(spark, sf)
+    linked = link_mentions(mentions_to_long(extract_mentions(explode_spans(docs))), catalog)
+    canon = entities_canon_map(salted_dedup(alias_edges(catalog), ["src", "dst"]))
+    triples = canonical_triples(assemble_triples(linked), canon)
+    similar = similar_to_exact(triples)
+    return recommend(triples, similar)
+
+
+# ===========================================================================
+# KG family (oracle corpus at data/oracle/sf0.01)
+# ===========================================================================
+
+
+def q_kg_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgc.operators.spans import explode_spans
+
+    return explode_spans(_docs(spark)).select(
+        "doc_id", "span_idx", "kind", "text", "media_ref", "offset"
+    )
+
+
+def q_kg_roundtrip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → reassemble → explode == explode (the span-sequence
+    invariant, proven inside the correctness gate)."""
+    from kgc.operators.spans import explode_spans, reassemble_spans
+
+    docs = _docs(spark)
+    back = reassemble_spans(explode_spans(docs), all_docs=docs)
+    return explode_spans(back).select("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+
+
+_SPANS_SQL = f"""
+SELECT d.doc_id,
+       CAST(generate_subscripts(d.spans, 1) - 1 AS INT) AS span_idx,
+       unnest(d.spans).kind      AS kind,
+       unnest(d.spans)."text"    AS text,
+       unnest(d.spans).media_ref AS media_ref,
+       unnest(d.spans)."offset"  AS offset
+FROM {_D} d
+"""
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgc.operators.extract import extract_mentions
+    from kgc.operators.spans import explode_spans
+
+    return extract_mentions(explode_spans(_docs(spark))).select(
+        "doc_id", "span_idx", "mention_type", "ind_surface", "act_surface",
+        "cmp_surface", "prd_surface", "ts_str",
+    )
+
+
+_IND_RE = r"(I-\d{4}|ind_\d{4}|Individual #\d+)"
+_TS_RE = r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)"
+
+_MENTIONS_SQL = f"""
+WITH s AS ({_SPANS_SQL})
+SELECT doc_id, span_idx, 'touch' AS mention_type,
+       regexp_extract(text, '{_IND_RE} opened email', 1) AS ind_surface,
+       regexp_extract(text, 'opened email (act-\\d{{3}})', 1) AS act_surface,
+       regexp_extract(text, 'of campaign (cmp-\\d{{2}})', 1) AS cmp_surface,
+       CAST(NULL AS VARCHAR) AS prd_surface,
+       regexp_extract(text, ' at {_TS_RE}', 1) AS ts_str
+FROM s WHERE regexp_matches(text, '{_IND_RE} opened email act-\\d{{3}} of campaign cmp-\\d{{2}} at {_TS_RE}')
+UNION ALL
+SELECT doc_id, span_idx, 'conversion',
+       regexp_extract(text, 'converted {_IND_RE} at', 1),
+       NULL,
+       regexp_extract(text, 'campaign (cmp-\\d{{2}}) converted', 1),
+       NULL,
+       regexp_extract(text, ' at {_TS_RE}', 1)
+FROM s WHERE regexp_matches(text, 'campaign cmp-\\d{{2}} converted {_IND_RE} at {_TS_RE}')
+UNION ALL
+SELECT doc_id, span_idx, 'purchase',
+       regexp_extract(text, '{_IND_RE} purchased', 1),
+       NULL, NULL,
+       regexp_extract(text, 'purchased (prd-\\d{{4}})', 1),
+       regexp_extract(text, ' at {_TS_RE}', 1)
+FROM s WHERE regexp_matches(text, '{_IND_RE} purchased prd-\\d{{4}} at {_TS_RE}')
+UNION ALL
+SELECT doc_id, span_idx, 'media_touch',
+       regexp_extract(text, 'photo of {_IND_RE} at webinar', 1),
+       regexp_extract(text, 'at webinar (act-\\d{{3}})', 1),
+       NULL, NULL, NULL
+FROM s WHERE regexp_matches(text, 'photo of {_IND_RE} at webinar act-\\d{{3}}')
+"""
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end extraction gate: real pipeline (UDF extraction, fuzzy
+    linking, CC canonicalization) vs pure-SQL re-derivation."""
+    from kgc.operators.canon import entities_canon_map, salted_dedup
+    from kgc.operators.extract import extract_mentions
+    from kgc.operators.link import link_mentions, mentions_to_long
+    from kgc.operators.spans import explode_spans
+    from kgc.operators.triples import assemble_triples, canonical_triples
+    from kgc.sources.synth import alias_catalog, alias_edges
+
+    docs = _docs(spark)
+    catalog = alias_catalog(spark, 0.01)
+    linked = link_mentions(mentions_to_long(extract_mentions(explode_spans(docs))), catalog)
+    canon = entities_canon_map(salted_dedup(alias_edges(catalog), ["src", "dst"]))
+    t = canonical_triples(assemble_triples(linked), canon)
+    return t.select(
+        "subj", "pred", "obj",
+        F.unix_timestamp("ts").alias("ts_epoch"), "doc_id", "span_idx",
+    )
+
+
+_TRIPLES_SQL = f"""
+WITH m AS ({_MENTIONS_SQL})
+SELECT DISTINCT
+  'ind-' || lpad(CAST(CAST(regexp_extract(ind_surface, '(\\d+)', 1) AS INT) AS VARCHAR), 4, '0') AS subj,
+  CASE mention_type WHEN 'conversion' THEN 'CONVERTED_BY' WHEN 'purchase' THEN 'PURCHASED' ELSE 'TOUCHED' END AS pred,
+  CASE mention_type WHEN 'conversion' THEN cmp_surface WHEN 'purchase' THEN prd_surface ELSE act_surface END AS obj,
+  CAST(epoch(strptime(ts_str, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS ts_epoch,
+  doc_id, span_idx
+FROM m
+"""
+
+
+def q_kg_entities_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgc.operators.canon import entities_canon_map
+
+    _ensure_kg(spark)
+    edges = spark.read.parquet(EDGES_PQ)
+    return entities_canon_map(edges).select("alias_id", "canonical_id")
+
+
+_CANON_SQL = f"""
+WITH RECURSIVE bidir AS (
+  SELECT src AS a, dst AS b FROM {_E}
+  UNION
+  SELECT dst, src FROM {_E}
+), reach(node, comp) AS (
+  SELECT a, a FROM (SELECT a FROM bidir UNION SELECT b FROM bidir)
+  UNION
+  SELECT b.b, r.comp FROM reach r JOIN bidir b ON b.a = r.node
+)
+SELECT node AS alias_id, min(comp) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+def q_kg_touch_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgc.operators.similarity import profile_degree, touch_items
+
+    return profile_degree(touch_items(_triples(spark))).select("individual", "deg")
+
+
+_PROFILES_SQL = f"""
+SELECT subj AS individual, CAST(count(DISTINCT obj) AS INT) AS deg
+FROM {_T} WHERE pred = 'TOUCHED' GROUP BY subj
+"""
+
+
+def q_kg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgc.operators.attribution import attribute
+    from kgc.sources.synth import part_of_dim
+
+    att = attribute(_triples(spark), part_of_dim(spark))
+    return att.select(
+        "individual", "campaign", "activity", "model",
+        F.round("weight", 9).alias("weight"), F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+_ATTR_SQL = f"""
+WITH conv AS (
+  SELECT subj AS individual, obj AS campaign, min(ts) AS conv_ts
+  FROM {_T} WHERE pred = 'CONVERTED_BY' GROUP BY 1, 2
+), touches AS (
+  SELECT DISTINCT subj AS individual, obj AS activity, ts
+  FROM {_T} WHERE pred = 'TOUCHED' AND ts IS NOT NULL
+), q AS (
+  SELECT t.individual, c.campaign, t.activity, t.ts
+  FROM touches t
+  JOIN conv c ON c.individual = t.individual
+   AND c.campaign = 'cmp-' || lpad(CAST(CAST(regexp_extract(t.activity, 'act-(\\d+)', 1) AS INT) // 10 AS VARCHAR), 2, '0')
+   AND t.ts <= c.conv_ts
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY individual, campaign ORDER BY ts ASC,  activity ASC)  AS rn_first,
+    row_number() OVER (PARTITION BY individual, campaign ORDER BY ts DESC, activity DESC) AS rn_last,
+    count(*)    OVER (PARTITION BY individual, campaign) AS n
+  FROM q
+)
+SELECT individual, campaign, activity, 'firstTouch' AS model, 1.0 AS weight,
+       CAST(epoch(ts) AS BIGINT) AS ts_epoch FROM ranked WHERE rn_first = 1
+UNION ALL
+SELECT individual, campaign, activity, 'lastTouch', 1.0, CAST(epoch(ts) AS BIGINT)
+FROM ranked WHERE rn_last = 1
+UNION ALL
+SELECT individual, campaign, activity, 'linear', round(1.0 / n, 9), CAST(epoch(ts) AS BIGINT)
+FROM ranked
+"""
+
+
+def q_kg_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgc.operators.similarity import similar_to_exact
+
+    return similar_to_exact(_triples(spark)).select(
+        "ind_a", "ind_b", F.round("similarity", 9).alias("similarity")
+    )
+
+
+_SIMILAR_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT subj AS i, obj AS act FROM {_T} WHERE pred = 'TOUCHED'
+), deg AS (
+  SELECT i, count(*) AS d FROM items GROUP BY i
+), pairs AS (
+  SELECT a.i AS ind_a, b.i AS ind_b, count(*) AS inter
+  FROM items a JOIN items b ON a.act = b.act AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT p.ind_a, p.ind_b, round(p.inter / sqrt(da.d * db.d), 9) AS similarity
+FROM pairs p JOIN deg da ON da.i = p.ind_a JOIN deg db ON db.i = p.ind_b
+"""
+
+
+def q_kg_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN recommend with cross-engine-stable ranking: rank on the ROUNDED
+    score (sum order differs between engines at ~1e-16) + product ASC."""
+    from kgc.operators.recommend import purchases_of, topk_neighbors
+    from kgc.operators.similarity import similar_to_exact
+
+    triples = _triples(spark)
+    similar = similar_to_exact(triples)
+    purchases = purchases_of(triples)
+    neighbors = topk_neighbors(similar, 10)
+    cands = neighbors.join(
+        purchases.select(F.col("individual").alias("neighbor"), "product"), "neighbor"
+    ).join(purchases, ["individual", "product"], "left_anti")
+    scored = cands.groupBy("individual", "product").agg(
+        F.round(F.sum("similarity"), 9).alias("score")
+    )
+    w = Window.partitionBy("individual").orderBy(F.col("score").desc(), F.col("product").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("individual", "product", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_RECOMMEND_SQL = f"""
+WITH sim AS ({_SIMILAR_SQL}),
+sym AS (
+  SELECT ind_a AS individual, ind_b AS neighbor, similarity FROM sim
+  UNION ALL
+  SELECT ind_b, ind_a, similarity FROM sim
+), knn AS (
+  SELECT * FROM (
+    SELECT individual, neighbor, similarity,
+           row_number() OVER (PARTITION BY individual ORDER BY similarity DESC, neighbor ASC) AS rn
+    FROM sym) WHERE rn <= 10
+), purch AS (
+  SELECT DISTINCT subj AS individual, obj AS product FROM {_T} WHERE pred = 'PURCHASED'
+), cand AS (
+  SELECT k.individual, p.product, k.similarity
+  FROM knn k JOIN purch p ON p.individual = k.neighbor
+  WHERE NOT EXISTS (SELECT 1 FROM purch o WHERE o.individual = k.individual AND o.product = p.product)
+), scored AS (
+  SELECT individual, product, round(sum(similarity), 9) AS score
+  FROM cand GROUP BY 1, 2
+)
+SELECT individual, product, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY individual ORDER BY score DESC, product ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def q_kg_similar_to_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded candidate path (rows-only check: probabilistic candidate
+    set; pair P/R ≥0.95 vs exact is asserted in tests/test_golden_pipeline)."""
+    from kgc.operators.similarity import candidate_pairs_lsh, hot_activities, touch_items
+
+    t = _triples(spark)
+    stop = hot_activities(touch_items(t))
+    return candidate_pairs_lsh(t, stoplist=stop).select(
+        "ind_a", "ind_b", F.round("similarity", 9).alias("similarity")
+    )
+
+
+def q_kg_media_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgc.operators.extract import extract_media_mentions
+    from kgc.operators.spans import explode_spans
+
+    return extract_media_mentions(explode_spans(_docs(spark))).select(
+        "doc_id", "span_idx", "act_surface"
+    )
+
+
+_MEDIA_MENTIONS_SQL = f"""
+WITH s AS ({_SPANS_SQL})
+SELECT doc_id, span_idx, regexp_extract(media_ref, '_(act-\\d{{3}})\\.', 1) AS act_surface
+FROM s WHERE media_ref IS NOT NULL AND regexp_matches(media_ref, '_act-\\d{{3}}\\.')
+"""
+
+
+# ===========================================================================
+# Relational family (driver TPC-H-ish tables; oracle uses registered views)
+# ===========================================================================
+
+
+def q_rel_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join chain + decimal-exact revenue aggregation."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            # round the FINAL sum only: per-item round(x, 2) straddles .005
+            # boundaries differently across engines; summation error ~1e-5
+            # on an ~1e8 total is far from the integer rounding boundary
+            F.round(F.sum(rev), 0).cast("long").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_REVENUE_SQL = """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_rel_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order (semi) but no order above 300k (anti)."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    has_order = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return has_order.join(
+        big, has_order["c_custkey"] == big["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_rel_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").cast("string").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty", "n",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in lineitem EXCEPT expensive parts, INTERSECT small."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    used = li.select(F.col("l_partkey").alias("p_partkey")).distinct()
+    pricey = part.filter(F.col("p_retailprice") > 1500).select("p_partkey")
+    small = part.filter(F.col("p_size") < 25).select("p_partkey")
+    return used.exceptAll(pricey).intersect(small).select("p_partkey")
+
+
+_SET_OPS_SQL = """
+SELECT p_partkey FROM (
+  SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+  EXCEPT ALL
+  SELECT p_partkey FROM part WHERE p_retailprice > 1500
+)
+INTERSECT
+SELECT p_partkey FROM part WHERE p_size < 25
+"""
+
+
+def q_rel_from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    k = F.from_json("props", "map<string,int>").getItem("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_FROM_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_rel_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of via window: for each 'purchase' event, the user's most recent
+    strictly-earlier event of any type (deterministic tie-break event_id)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    prev = ev.withColumn(
+        "prev_event_id", F.last("event_id").over(w)
+    )
+    return prev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_epoch"), "prev_event_id"
+    )
+
+
+_ASOF_SQL = """
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, prev_event_id FROM (
+  SELECT *, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_event_id
+  FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
+# ===========================================================================
+# Training-data family (documents / embeddings)
+# ===========================================================================
+
+
+def q_dd_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content groups with >1 member."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+_DD_EXACT_SQL = """
+SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def _shingles_col(text_col: str = "text", k: int = 3):
+    """Word k-shingles as strings (builtin: split + transform + slice)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+
+
+def q_dd_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup blocking: signature = min(md5(shingle)) per doc (md5 so
+    the oracle computes the identical hash); buckets with >1 doc are
+    near-dup candidates."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sig = F.array_min(F.transform(_shingles_col(), lambda s: F.md5(s)))
+    return (
+        docs.select("doc_id", sig.alias("minhash"))
+        .filter(F.col("minhash").isNotNull())
+        .groupBy("minhash")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+_DD_MINHASH_SQL = """
+WITH sigs AS (
+  SELECT doc_id,
+         (SELECT min(md5(sh)) FROM (
+            SELECT string_agg(w, ' ' ORDER BY NULL) AS sh FROM (
+              SELECT unnest(words[i:i+2]) AS w, i
+              FROM (SELECT generate_subscripts(words, 1) AS i, words FROM (
+                SELECT string_split_regex(lower(text), '\\s+') AS words) )
+              WHERE i <= len(words) - 2
+            ) GROUP BY i
+         )) AS minhash
+  FROM documents
+)
+SELECT minhash, count(*) AS n, min(doc_id) AS keep_doc_id
+FROM sigs WHERE minhash IS NOT NULL GROUP BY minhash HAVING count(*) > 1
+"""
+
+
+def q_dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs, blocked by source (same-block pairs
+    only — the realistic blocked-join shape), threshold 0.10."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(_shingles_col()).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), "source", F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), "source", F.col("sh").alias("sh_b"))
+    pairs = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union, 9).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.10)
+    )
+
+
+_DD_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, source, list_distinct(sh_list) AS sh FROM (
+    SELECT doc_id, source,
+           (SELECT list(sg) FROM (
+              SELECT string_agg(w, ' ' ORDER BY NULL) AS sg FROM (
+                SELECT unnest(words[i:i+2]) AS w, i
+                FROM (SELECT generate_subscripts(words, 1) AS i, words FROM (
+                  SELECT string_split_regex(lower(text), '\\s+') AS words))
+                WHERE i <= len(words) - 2
+              ) GROUP BY i)) AS sh_list
+    FROM documents)
+  WHERE len(sh_list) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.10
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 20) — the exact
+    ANN baseline. Dot products via zip_with/aggregate in float64."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", vec.alias("v"))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    pairs = q.crossJoin(e).filter(F.col("q_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "q_id", "vec_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).select(
+        "q_id", "vec_id", "cosine", F.col("rk").cast("int").alias("rk")
+    )
+
+
+_ANN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM q CROSS JOIN e WHERE q.q_id != e.vec_id
+)
+SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= 5
+"""
+
+
+_STOPWORDS = "(the|and|of|to|in|a|is|that|it|for)"
+
+
+def q_ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: token/char counts, stopword + punct ratios."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(tokens)
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b{_STOPWORDS}\b"), 1))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"([^\w\s])"), 1))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_ratio"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       round(CAST(len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b', 1)) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
+       round(CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS DOUBLE)
+             / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def q_ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-list hit counts per language family."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    en = F.size(F.regexp_extract_all(low, F.lit(r"\b(the|and|is|of|to)\b"), 1))
+    de = F.size(F.regexp_extract_all(low, F.lit(r"\b(der|die|das|und|ist)\b"), 1))
+    fr = F.size(F.regexp_extract_all(low, F.lit(r"\b(le|la|les|et|est)\b"), 1))
+    guess = (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", "lang", en.alias("en_hits"), de.alias("de_hits"),
+                       fr.alias("fr_hits"), guess.alias("lang_guess"))
+
+
+_LANG_ID_SQL = """
+SELECT doc_id, lang,
+       len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to)\\b', 1)) AS en_hits,
+       len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b', 1)) AS de_hits,
+       len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b', 1)) AS fr_hits,
+       CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to)\\b', 1)) >= len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b', 1))
+             AND len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to)\\b', 1)) >= len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b', 1))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b', 1)) >= len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b', 1))
+            THEN 'de' ELSE 'fr' END AS lang_guess
+FROM documents
+"""
+
+
+def q_ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content md5 + min-shingle hash (winnowing
+    lite) — both reproducible cross-engine via md5."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_fp"),
+        F.array_min(F.transform(_shingles_col(), lambda s: F.md5(s))).alias("min_shingle_fp"),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS content_fp,
+       (SELECT min(md5(sg)) FROM (
+          SELECT string_agg(w, ' ' ORDER BY NULL) AS sg FROM (
+            SELECT unnest(words[i:i+2]) AS w, i
+            FROM (SELECT generate_subscripts(words, 1) AS i, words FROM (
+              SELECT string_split_regex(lower(text), '\\s+') AS words))
+            WHERE i <= len(words) - 2
+          ) GROUP BY i)) AS min_shingle_fp
+FROM documents
+"""
+
+
+def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: decode media spans via mapInPandas (Arrow-batched).
+    Real decode libs are absent → a clearly-marked deterministic fake derives
+    pseudo width/height from md5(media_ref); the Spark-side plumbing (schema,
+    pruned scan, batch shape) is real and the fake is mirrored in SQL."""
+    from kgc.operators.multimodal import extract_media_features
+    from kgc.operators.spans import explode_spans
+
+    return extract_media_features(explode_spans(_docs(spark)))
+
+
+_MM_SQL = f"""
+WITH s AS ({_SPANS_SQL})
+SELECT doc_id, span_idx, kind,
+       64 + (ascii(substr(md5(media_ref), 1, 1)) * 131 + ascii(substr(md5(media_ref), 2, 1))) % 1857 AS width,
+       64 + (ascii(substr(md5(media_ref), 3, 1)) * 131 + ascii(substr(md5(media_ref), 4, 1))) % 1017 AS height,
+       md5(media_ref) AS content_fp
+FROM s WHERE media_ref IS NOT NULL
+"""
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: tumbling 1-day windows with watermark over the
+    events table (file source drives the stream to completion); oracle is
+    the equivalent batch SQL."""
+    from kgc.streaming.touches import windowed_event_counts
+
+    return windowed_event_counts(spark, _t(sf_dir, "events"))
+
+
+_STREAM_SQL = """
+SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS window_start_epoch,
+       event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_spans_flat": q_kg_spans_flat,
+        "kg_roundtrip_spans": q_kg_roundtrip_spans,
+        "kg_mentions": q_kg_mentions,
+        "kg_media_mentions": q_kg_media_mentions,
+        "kg_triples": q_kg_triples,
+        "kg_entities_canon": q_kg_entities_canon,
+        "kg_touch_profiles": q_kg_touch_profiles,
+        "kg_attribution": q_kg_attribution,
+        "kg_similar_to": q_kg_similar_to,
+        "kg_similar_to_lsh": q_kg_similar_to_lsh,
+        "kg_recommend": q_kg_recommend,
+        "rel_topk_orders_per_cust": q_rel_topk_orders_per_cust,
+        "rel_revenue_by_nation": q_rel_revenue_by_nation,
+        "rel_semi_anti_customers": q_rel_semi_anti_customers,
+        "rel_rollup_lineitem": q_rel_rollup_lineitem,
+        "rel_set_ops": q_rel_set_ops,
+        "rel_from_json_events": q_rel_from_json_events,
+        "rel_asof_last_event": q_rel_asof_last_event,
+        "dd_exact_hash": q_dd_exact_hash,
+        "dd_minhash_buckets": q_dd_minhash_buckets,
+        "dd_jaccard_pairs": q_dd_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ts_text_stats": q_ts_text_stats,
+        "ts_lang_id": q_ts_lang_id,
+        "ts_fingerprint": q_ts_fingerprint,
+        "mm_media_features": q_mm_media_features,
+        "stream_window_counts": q_stream_window_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_spans_flat": _SPANS_SQL,
+        "kg_roundtrip_spans": _SPANS_SQL,
+        "kg_mentions": _MENTIONS_SQL,
+        "kg_media_mentions": _MEDIA_MENTIONS_SQL,
+        "kg_triples": _TRIPLES_SQL,
+        "kg_entities_canon": _CANON_SQL,
+        "kg_touch_profiles": _PROFILES_SQL,
+        "kg_attribution": _ATTR_SQL,
+        "kg_similar_to": _SIMILAR_SQL,
+        # kg_similar_to_lsh: intentionally no oracle (probabilistic candidate set)
+        "kg_recommend": _RECOMMEND_SQL,
+        "rel_topk_orders_per_cust": _TOPK_SQL,
+        "rel_revenue_by_nation": _REVENUE_SQL,
+        "rel_semi_anti_customers": _SEMI_ANTI_SQL,
+        "rel_rollup_lineitem": _ROLLUP_SQL,
+        "rel_set_ops": _SET_OPS_SQL,
+        "rel_from_json_events": _FROM_JSON_SQL,
+        "rel_asof_last_event": _ASOF_SQL,
+        "dd_exact_hash": _DD_EXACT_SQL,
+        "dd_minhash_buckets": _DD_MINHASH_SQL,
+        "dd_jaccard_pairs": _DD_JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "ts_text_stats": _TEXT_STATS_SQL,
+        "ts_lang_id": _LANG_ID_SQL,
+        "ts_fingerprint": _FINGERPRINT_SQL,
+        "mm_media_features": _MM_SQL,
+        "stream_window_counts": _STREAM_SQL,
+    }

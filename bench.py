@@ -1,0 +1,106 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Headline: the full KG-construction pipeline (synth interleaved docs at the
+target SF → triples → attribution → similarity → recommend), reported as
+triples/sec, plus per-stage and per-operator-family timings over the driver
+tables at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from kgc.session import get_spark
+
+    spark = get_spark(app_name=f"kgc-bench-sf{sf}", cpus=cpus)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- headline: end-to-end KG pipeline on synthetic interleaved docs ----
+    from kgc.plans.run import run_pipeline
+
+    workdir = tempfile.mkdtemp(prefix="kgc_bench_")
+    try:
+        t0 = time.time()
+        tables = run_pipeline(spark, workdir, sf, force=True)
+        n_triples = tables["triples"].count()
+        pipeline_wall = time.time() - t0
+        timings["pipeline_e2e"] = round(pipeline_wall, 3)
+
+        # --- per-stage re-timings on materialized inputs -------------------
+        triples = tables["triples"].cache()
+        triples.count()
+
+        from kgc.operators.attribution import attribute
+        from kgc.operators.recommend import recommend
+        from kgc.operators.similarity import (
+            candidate_pairs_lsh,
+            hot_activities,
+            similar_to_exact,
+            touch_items,
+        )
+        from kgc.sources.synth import part_of_dim
+
+        part_of = part_of_dim(spark)
+        timed("attribution", lambda: attribute(triples, part_of).count())
+        timed("similarity_exact", lambda: similar_to_exact(triples).count())
+        stop = hot_activities(touch_items(triples))
+        timed("similarity_lsh", lambda: candidate_pairs_lsh(triples, stoplist=stop).count())
+        similar = tables["similar_to"]
+        timed("recommend", lambda: recommend(triples, similar).count())
+        triples.unpersist()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # --- operator families over the driver tables --------------------------
+    import __spark_entry__ as E
+
+    timed("rel_revenue_by_nation", lambda: E.q_rel_revenue_by_nation(spark, sf_dir).count())
+    timed("rel_topk_window", lambda: E.q_rel_topk_orders_per_cust(spark, sf_dir).count())
+    timed("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, sf_dir).count())
+    timed("dd_minhash_buckets", lambda: E.q_dd_minhash_buckets(spark, sf_dir).count())
+    timed("ts_text_stats", lambda: E.q_ts_text_stats(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_triples_per_sec",
+                "value": round(n_triples / pipeline_wall, 1),
+                "unit": "triples/sec",
+                "queries": timings,
+                "sf": sf,
+                "n_triples": n_triples,
+                "cpus": cpus,
+                "total_sec": total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
