@@ -12,8 +12,8 @@ against an entity catalog:
    (surface_key, candidate_key) pair with a blend of normalized Levenshtein
    similarity and token-set Jaccard. Iterator form so per-worker setup happens
    once per Python worker, not once per batch.
-3. resolution: ranking window keeps the argmax candidate per mention with a
-   pinned tie-break (score DESC, entity_id ASC) — SURVEY.md §2.4.
+3. resolution: argmax candidate per mention via a struct-min hash agg with
+   a pinned tie-break (score DESC, entity_id ASC) — SURVEY.md §2.4.
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,23 +46,34 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _score_pair(s: str | None, c: str | None) -> float:
+    if s is None or c is None:
+        return 0.0
+    s, c = str(s), str(c)
+    maxlen = max(len(s), len(c)) or 1
+    lev_sim = 1.0 - _lev(s, c) / maxlen
+    st, ct = set(s.split()), set(c.split())
+    jac = len(st & ct) / (len(st | ct) or 1)
+    return 0.5 * lev_sim + 0.5 * jac
+
+
 @F.pandas_udf(T.DoubleType())
 def score_links_udf(surface: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-    """op-12/46: blend = 0.5·(1 − lev/maxlen) + 0.5·token-Jaccard."""
+    """op-12/46: blend = 0.5·(1 − lev/maxlen) + 0.5·token-Jaccard.
+
+    The surface/candidate vocabulary is tiny relative to the mention stream
+    (O(entities·alias_forms) distinct pairs vs O(docs) rows), so each batch
+    is deduplicated to its unique pairs and scored once, with a cache
+    carried across batches — the reason this is the ITERATOR form: the
+    cache (like a model or catalog) lives once per Python worker."""
+    cache: dict[tuple, float] = {}
     for surf, cand in surface:
-
-        def score(pair):
-            s, c = pair
-            if s is None or c is None:
-                return 0.0
-            s, c = str(s), str(c)
-            maxlen = max(len(s), len(c)) or 1
-            lev_sim = 1.0 - _lev(s, c) / maxlen
-            st, ct = set(s.split()), set(c.split())
-            jac = len(st & ct) / (len(st | ct) or 1)
-            return 0.5 * lev_sim + 0.5 * jac
-
-        yield pd.Series(map(score, zip(surf, cand)), index=surf.index, dtype="float64")
+        keys = pd.Series(list(zip(surf.fillna("\0"), cand.fillna("\0"))), index=surf.index)
+        for k in keys.unique():
+            if k not in cache:
+                s, c = k
+                cache[k] = _score_pair(None if s == "\0" else s, None if c == "\0" else c)
+        yield keys.map(cache).astype("float64")
 
 
 def link_mentions(mentions_long: DataFrame, catalog: DataFrame) -> DataFrame:
@@ -71,29 +82,123 @@ def link_mentions(mentions_long: DataFrame, catalog: DataFrame) -> DataFrame:
     mentions_long columns: doc_id, span_idx, match_idx, mention_type, role
     ('individual'|'activity'|'campaign'|'product'), surface.
     Returns those + entity_id, link_score (best candidate above threshold).
+
+    Scale shape: the best candidate is a pure function of (role,
+    surface_key), so resolution happens on the DISTINCT VOCABULARY —
+    O(entities·alias_forms) rows — where the UDF scoring and the argmax are
+    trivially cheap; the resulting resolution dimension is then
+    broadcast-joined onto the mention stream. Per-mention cost at 10^12
+    docs: one broadcast hash-join probe, zero shuffles of the stream, and
+    the Python-side work is constant in the corpus size.
     """
-    m = mentions_long.withColumn("surface_key", normalize_surface("surface")).withColumn(
-        "bkey", block_key("surface")
+    m = mentions_long.withColumn("surface_key", normalize_surface("surface"))
+    # --- vocabulary resolution (tiny) ----------------------------------
+    vocab = m.select("role", "surface_key").distinct().withColumn(
+        "bkey", block_key(F.col("surface_key"))
     )
     cat = catalog.withColumn("bkey", block_key(F.col("surface_key")))
-    cands = m.join(
+    cands = vocab.join(
         F.broadcast(cat),
-        (m["bkey"] == cat["bkey"]) & (m["role"] == cat["entity_type"]),
+        (vocab["bkey"] == cat["bkey"]) & (vocab["role"] == cat["entity_type"]),
         "inner",
     ).select(
-        m["doc_id"], m["span_idx"], m["match_idx"], m["mention_type"], m["ts_str"], m["role"],
-        m["surface"], m["surface_key"],
+        vocab["role"], vocab["surface_key"],
         cat["surface_key"].alias("cand_key"), cat["entity_id"],
     )
-    scored = cands.withColumn("link_score", score_links_udf(F.col("surface_key"), F.col("cand_key")))
-    w = Window.partitionBy("doc_id", "span_idx", "match_idx", "role").orderBy(
-        F.col("link_score").desc(), F.col("entity_id").asc()
+    scored = cands.withColumn(
+        "link_score", score_links_udf(F.col("surface_key"), F.col("cand_key"))
+    ).filter(F.col("link_score") >= LINK_THRESHOLD)
+    # argmax with pinned tie-break (score DESC, entity_id ASC):
+    # lexicographic min of struct(-score, entity_id)
+    resolution = (
+        scored.groupBy("role", "surface_key")
+        .agg(F.min(F.struct((-F.col("link_score")).alias("ns"), F.col("entity_id").alias("e"))).alias("b"))
+        .select("role", "surface_key", F.col("b.e").alias("entity_id"), (-F.col("b.ns")).alias("link_score"))
     )
+    # --- stream rewrite (one broadcast hash join) ----------------------
+    return m.join(F.broadcast(resolution), ["role", "surface_key"]).select(
+        "doc_id", "span_idx", "match_idx", "mention_type", "ts_str", "role",
+        "surface", "surface_key", "entity_id", "link_score",
+    )
+
+
+def link_resolution_dim(mentions_long: DataFrame, catalog: DataFrame) -> DataFrame:
+    """The (role, surface_key) → (entity_id, link_score) resolution dimension
+    alone — the vocabulary-sized part of link_mentions."""
+    m = mentions_long.withColumn("surface_key", normalize_surface("surface"))
+    vocab = m.select("role", "surface_key").distinct().withColumn(
+        "bkey", block_key(F.col("surface_key"))
+    )
+    cat = catalog.withColumn("bkey", block_key(F.col("surface_key")))
+    cands = vocab.join(
+        F.broadcast(cat),
+        (vocab["bkey"] == cat["bkey"]) & (vocab["role"] == cat["entity_type"]),
+        "inner",
+    ).select(
+        vocab["role"], vocab["surface_key"],
+        cat["surface_key"].alias("cand_key"), cat["entity_id"],
+    )
+    scored = cands.withColumn(
+        "link_score", score_links_udf(F.col("surface_key"), F.col("cand_key"))
+    ).filter(F.col("link_score") >= LINK_THRESHOLD)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("link_score") >= LINK_THRESHOLD))
-        .drop("rn", "cand_key")
+        scored.groupBy("role", "surface_key")
+        .agg(F.min(F.struct((-F.col("link_score")).alias("ns"), F.col("entity_id").alias("e"))).alias("b"))
+        .select("role", "surface_key", F.col("b.e").alias("entity_id"), (-F.col("b.ns")).alias("link_score"))
     )
+
+
+_ROLE_OF_OBJ = {"touch": "activity", "media_touch": "activity", "conversion": "campaign", "purchase": "product"}
+
+
+def link_triples_wide(mentions: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Fused wide-form link + triple assembly: the mention stream is never
+    unpivoted or re-aggregated — each surface column is resolved by a
+    broadcast hash-join against the (tiny) resolution dimension, so the
+    per-mention cost is two broadcast probes and ZERO shuffles of the
+    stream. Semantically identical to
+    assemble_triples(link_mentions(mentions_to_long(m), catalog)).
+    """
+    from kgc.functions.text import parse_ts
+
+    res = link_resolution_dim(mentions_to_long(mentions), catalog)
+    res_ind = res.filter(F.col("role") == "individual").select(
+        F.col("surface_key").alias("_ind_key"), F.col("entity_id").alias("subj")
+    )
+    res_obj = res.filter(F.col("role") != "individual").select(
+        F.col("role").alias("_res_role"), F.col("surface_key").alias("_res_key"),
+        F.col("entity_id").alias("obj"),
+    )
+    obj_role = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _ROLE_OF_OBJ]),
+            F.array(*[F.lit(v) for v in _ROLE_OF_OBJ.values()]),
+        ),
+        F.col("mention_type"),
+    )
+    obj_surface = F.coalesce("act_surface", "cmp_surface", "prd_surface")
+    m = mentions.withColumn("_ind_key", normalize_surface("ind_surface")).withColumn(
+        "_obj_key", normalize_surface(obj_surface)
+    ).withColumn("_obj_role", obj_role)
+    out = (
+        m.join(F.broadcast(res_ind), "_ind_key")
+        .join(
+            F.broadcast(res_obj),
+            (F.col("_obj_key") == F.col("_res_key")) & (F.col("_obj_role") == F.col("_res_role")),
+        )
+        .select(
+            "subj",
+            F.when(F.col("mention_type").isin("touch", "media_touch"), F.lit("TOUCHED"))
+            .when(F.col("mention_type") == "conversion", F.lit("CONVERTED_BY"))
+            .otherwise(F.lit("PURCHASED"))
+            .alias("pred"),
+            "obj",
+            parse_ts("ts_str").alias("ts"),
+            "doc_id",
+            F.col("span_idx").cast("int"),
+        )
+    )
+    return out
 
 
 def mentions_to_long(mentions: DataFrame) -> DataFrame:

@@ -15,8 +15,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_hash(df: DataFrame):
+    # direct multi-column xxhash64 — stays in whole-stage codegen; to_json
+    # would build a string per row (~4× slower on wide/large tables)
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
 def partition_metrics(df: DataFrame, stage: str) -> DataFrame:
-    row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    row_hash = _row_hash(df)
     return (
         df.select(F.spark_partition_id().alias("partition_id"), row_hash.alias("h"))
         .groupBy("partition_id")
@@ -32,6 +38,5 @@ def emit_metrics(df: DataFrame, stage: str, metrics_dir: str) -> None:
 
 def table_fingerprint(df: DataFrame) -> int:
     """Order/partitioning-independent whole-table fingerprint."""
-    row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
-    r = df.select(row_hash.alias("h")).agg(F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("n")).collect()[0]
+    r = df.select(_row_hash(df).alias("h")).agg(F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("n")).collect()[0]
     return hash((r["fp"], r["n"]))

@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kgc.operators.attribution import attribute
 from kgc.operators.canon import entities_canon_map, salted_dedup
@@ -36,7 +37,6 @@ from kgc.operators.similarity import (
 )
 from kgc.operators.spans import explode_spans
 from kgc.operators.triples import assemble_triples, canonical_triples
-from kgc.plans.metrics import emit_metrics
 from kgc.sources import catalog as cat
 from kgc.sources.synth import alias_catalog, alias_edges, part_of_dim, synth_documents
 
@@ -58,8 +58,17 @@ def _stage(
             return cached
     t0 = time.time()
     df = build()
-    out = cat.checkpoint(df, path, name, input_fp, bucket_by=bucket_by)
-    emit_metrics(out, name, os.path.join(workdir, "stage_metrics"))
+    cat.write_table(df, path, bucket_by=bucket_by)
+    out = cat.read_table(spark, path)
+    # ONE post-write scan serves both the lineage metrics (op-05) and the
+    # manifest row count (op-03) — no separate count() action.
+    from kgc.plans.metrics import partition_metrics
+
+    metrics = partition_metrics(out, name)
+    mdir = os.path.join(workdir, "stage_metrics", name)
+    metrics.write.mode("overwrite").parquet(mdir)
+    n_rows = spark.read.parquet(mdir).agg(F.sum("rows_out")).collect()[0][0] or 0
+    cat.write_manifest(path, name, input_fp, int(n_rows), df.schema.simpleString())
     print(f"[kgc] stage {name}: computed in {time.time() - t0:.1f}s")
     return out
 
@@ -72,8 +81,9 @@ def run_pipeline(
     force: bool = False,
     lsh_sim: bool = False,
     input_fp: str | None = None,
+    until: str = "recommend",
 ) -> dict[str, DataFrame]:
-    """Run all stages; returns the materialized tables."""
+    """Run stages up to and including `until`; returns the tables built."""
     os.makedirs(workdir, exist_ok=True)
     fp = input_fp or f"synth-sf{sf}-seed42"
     catalog_df = alias_catalog(spark, sf)
@@ -104,6 +114,16 @@ def run_pipeline(
         lambda: canonical_triples(assemble_triples(linked), canon_map),
         bucket_by="subj", force=force,
     )
+    tables = {
+        "documents": docs_df,
+        "mentions": mentions,
+        "linked": linked,
+        "entities_canon": canon_map,
+        "triples": triples,
+    }
+    if until == "triples":
+        return tables
+
     attributions = _stage(
         spark, workdir, "attribute", fp,
         lambda: attribute(triples, part_of),
@@ -126,16 +146,25 @@ def run_pipeline(
         lambda: recommend(triples, similar),
         force=force,
     )
-    return {
-        "documents": docs_df,
-        "mentions": mentions,
-        "linked": linked,
-        "entities_canon": canon_map,
-        "triples": triples,
-        "attributions": attributions,
-        "similar_to": similar,
-        "recommendations": recs,
-    }
+    tables.update(
+        {"attributions": attributions, "similar_to": similar, "recommendations": recs}
+    )
+    return tables
+
+
+def build_triples_fused(spark: SparkSession, sf: float, canon_map: DataFrame | None = None) -> DataFrame:
+    """The doc-proportional construction work (docs → canonical triples) as
+    ONE lazy plan — no intermediate checkpoints. This is the benchmark/
+    scaling mode; the staged pipeline (run_pipeline) is the resumable
+    production mode. Entity dimensions (alias catalog, canonical map) are
+    corpus-independent and can be prebuilt.
+    """
+    catalog_df = alias_catalog(spark, sf)
+    if canon_map is None:
+        canon_map = entities_canon_map(salted_dedup(alias_edges(catalog_df), ["src", "dst"]))
+    docs = synth_documents(spark, sf)
+    linked = link_mentions(mentions_to_long(extract_mentions(explode_spans(docs))), catalog_df)
+    return canonical_triples(assemble_triples(linked), canon_map)
 
 
 def main() -> None:
@@ -146,13 +175,16 @@ def main() -> None:
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--lsh-sim", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--until", default="recommend", choices=["triples", "recommend"])
     args = ap.parse_args()
 
     from kgc.session import get_spark
 
     spark = get_spark(app_name=f"kgc-sf{args.sf}", cpus=args.cpus)
     t0 = time.time()
-    tables = run_pipeline(spark, args.workdir, args.sf, force=args.force, lsh_sim=args.lsh_sim)
+    tables = run_pipeline(
+        spark, args.workdir, args.sf, force=args.force, lsh_sim=args.lsh_sim, until=args.until
+    )
     n_triples = tables["triples"].count()
     wall = time.time() - t0
     print(json.dumps({"sf": args.sf, "triples": n_triples, "wall_sec": round(wall, 2),

@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-scale skew thresholds: the planted hot activity concentrates
+        # ~50MB in one join partition — far under the 256MB default, so AQE
+        # would never split it. At cluster scale these scale with executor
+        # memory; the ratios (factor 2, split target 16MB) are the design.
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

@@ -61,12 +61,17 @@ def write_table(
     the bucket column is computed (deterministic xxhash64), written as a
     partition directory, and stripped again on read.
     """
-    writer = df
     if bucket_by is not None:
-        writer = df.withColumn("bucket", bucket_col(bucket_by, n_buckets))
+        # Cluster rows by bucket before the partitioned write: one file per
+        # bucket dir instead of (tasks × buckets) small files — the same
+        # layout Iceberg's bucket() transform produces, and the write-side
+        # half of a storage-partitioned join.
+        writer = df.withColumn("bucket", bucket_col(bucket_by, n_buckets)).repartition(
+            n_buckets, F.col("bucket")
+        )
         writer.write.mode(mode).partitionBy("bucket").parquet(path)
     else:
-        writer.write.mode(mode).parquet(path)
+        df.write.mode(mode).parquet(path)
 
 
 def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
@@ -88,6 +93,17 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, "_MANIFEST.json")
 
 
+def write_manifest(path: str, stage: str, input_fingerprint: str, rows: int, schema: str) -> None:
+    manifest = {
+        "stage": stage,
+        "input_fingerprint": input_fingerprint,
+        "rows": rows,
+        "schema": schema,
+    }
+    with open(_manifest_path(path), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
 def checkpoint(
     df: DataFrame,
     path: str,
@@ -104,14 +120,7 @@ def checkpoint(
     spark = df.sparkSession
     write_table(df, path, bucket_by=bucket_by, n_buckets=n_buckets)
     n_rows = spark.read.parquet(path).count()
-    manifest = {
-        "stage": stage,
-        "input_fingerprint": input_fingerprint,
-        "rows": n_rows,
-        "schema": df.schema.simpleString(),
-    }
-    with open(_manifest_path(path), "w") as f:
-        json.dump(manifest, f, indent=2)
+    write_manifest(path, stage, input_fingerprint, n_rows, df.schema.simpleString())
     return read_table(spark, path)
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
+
 
 SEED = 42
 N_CAMPAIGNS = 50
@@ -70,27 +70,9 @@ def _pm(col: Column, n: int) -> Column:
     return F.pmod(col, F.lit(n))
 
 
-def synth_spans_internal(spark: SparkSession, sf: float) -> DataFrame:
-    """Exploded spans WITH hidden ground-truth columns.
-
-    Public columns: doc_id, span_idx, kind, text, media_ref, offset.
-    Hidden GT columns: tmpl ('touch'|'conversion'|'purchase'|'filler'|
-    'media'|'media_touch'), ind_id, act_id, cmp_id, prd_id, ts.
-    """
-    n_docs = n_docs_for(sf)
-    n_ind = n_individuals_for(sf)
-    d = F.col("doc_num")
-    s = F.col("span_idx")
-
-    base = (
-        spark.range(1, n_docs)  # doc 0 planted as the empty-spans doc
-        .withColumnRenamed("id", "doc_num")
-        .withColumn("n_spans", (F.lit(4) + _pm(_h(F.col("doc_num"), "nspans"), 9)).cast("int"))
-        .select("doc_num", F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_idx", "_z"))
-        .drop("_z")
-        .withColumn("span_idx", F.col("span_idx").cast("int"))
-    )
-
+def _span_fields(d: Column, s: Column, n_ind: int) -> dict[str, Column]:
+    """All span columns as pure expressions of (doc_num, span_idx) — usable
+    both per-row (post-explode) and inside array-transform lambdas."""
     is_media = F.when(d == 1, F.lit(True)).otherwise(_pm(_h(d, s, "kind"), 4) == 3)
 
     # --- entity draws ------------------------------------------------------
@@ -180,35 +162,90 @@ def synth_spans_internal(spark: SparkSession, sf: float) -> DataFrame:
 
     kind = F.when(~is_media, F.lit("text")).when(media_kind == "img", F.lit("image")).otherwise(F.lit("video"))
 
-    df = base.select(
-        "doc_num",
-        F.format_string("doc-%010d", d).alias("doc_id"),
-        "span_idx",
-        kind.alias("kind"),
-        text.alias("text"),
-        media_ref.alias("media_ref"),
-        tmpl.alias("tmpl"),
-        # hidden GT (only meaningful for mention templates)
-        F.format_string("ind-%04d", ind).alias("ind_id"),
-        act_surface.alias("act_id"),
-        F.when(tmpl == "conversion", cmp_conv_surface).otherwise(cmp_touch_surface).alias("cmp_id"),
-        prd_surface.alias("prd_id"),
-        F.when(tmpl.isin("touch", "conversion", "purchase"), ts).alias("ts"),
-    )
+    return {
+        "kind": kind,
+        "text": text,
+        "media_ref": media_ref,
+        "tmpl": tmpl,
+        "ind_id": F.format_string("ind-%04d", ind),
+        "act_id": act_surface,
+        "cmp_id": F.when(tmpl == "conversion", cmp_conv_surface).otherwise(cmp_touch_surface),
+        "prd_id": prd_surface,
+        "ts": F.when(tmpl.isin("touch", "conversion", "purchase"), ts),
+    }
 
-    # Running character offset — strictly increasing within each doc.
-    span_len = F.length(F.coalesce(F.col("text"), F.lit(""))) + F.length(F.coalesce(F.col("media_ref"), F.lit(""))) + 1
-    w = W.partitionBy("doc_id").orderBy("span_idx").rowsBetween(W.unboundedPreceding, -1)
-    return df.withColumn("offset", F.coalesce(F.sum(span_len).over(w), F.lit(0)).cast("int"))
+
+def _docs_internal(spark: SparkSession, sf: float) -> DataFrame:
+    """One row per doc with a span-struct ARRAY built entirely by builtin
+    higher-order functions — a pure narrow projection over spark.range:
+    NO shuffle, NO window, embarrassingly parallel at any partitioning
+    (this is the property that makes 10^12-doc generation a map-only job).
+
+    Offsets (running char offset, strictly increasing) are computed with
+    aggregate() over the span-array prefix — O(n_spans²) per doc, n ≤ 12.
+    """
+    n_docs = n_docs_for(sf)
+    n_ind = n_individuals_for(sf)
+    d = F.col("doc_num")
+
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_num")
+    n_spans = F.when(d == 0, F.lit(0)).otherwise((F.lit(4) + _pm(_h(d, "nspans"), 9)).cast("int"))
+
+    def mk_span(s: Column) -> Column:
+        f = _span_fields(d, s.cast("int"), n_ind)
+        return F.struct(*[f[k].alias(k) for k in ("kind", "text", "media_ref", "tmpl", "ind_id", "act_id", "cmp_id", "prd_id", "ts")])
+
+    spans0 = F.when(n_spans == 0, F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,tmpl:string,ind_id:string,act_id:string,cmp_id:string,prd_id:string,ts:timestamp>>"
+    )).otherwise(F.transform(F.sequence(F.lit(0), n_spans - 1), mk_span))
+
+    span_len = lambda x: (  # noqa: E731
+        F.length(F.coalesce(x["text"], F.lit(""))) + F.length(F.coalesce(x["media_ref"], F.lit(""))) + F.lit(1)
+    )
+    with_offsets = F.transform(
+        F.col("_spans0"),
+        lambda x, i: F.struct(
+            *[x[k].alias(k) for k in ("kind", "text", "media_ref", "tmpl", "ind_id", "act_id", "cmp_id", "prd_id", "ts")],
+            F.aggregate(F.slice(F.col("_spans0"), 1, i), F.lit(0), lambda acc, y: acc + span_len(y))
+            .cast("int")
+            .alias("offset"),
+        ),
+    )
+    return base.select(
+        "doc_num", F.format_string("doc-%010d", d).alias("doc_id"), spans0.alias("_spans0")
+    ).select("doc_num", "doc_id", with_offsets.alias("spans_full"))
+
+
+def synth_spans_internal(spark: SparkSession, sf: float) -> DataFrame:
+    """Exploded spans WITH hidden ground-truth columns.
+
+    Public columns: doc_id, span_idx, kind, text, media_ref, offset.
+    Hidden GT columns: tmpl ('touch'|'conversion'|'purchase'|'filler'|
+    'media'|'media_touch'), ind_id, act_id, cmp_id, prd_id, ts.
+    """
+    return _docs_internal(spark, sf).select(
+        "doc_num", "doc_id", F.posexplode("spans_full").alias("span_idx", "sp")
+    ).select(
+        "doc_num", "doc_id", F.col("span_idx").cast("int"),
+        F.col("sp.kind").alias("kind"), F.col("sp.text").alias("text"),
+        F.col("sp.media_ref").alias("media_ref"), F.col("sp.tmpl").alias("tmpl"),
+        F.col("sp.ind_id").alias("ind_id"), F.col("sp.act_id").alias("act_id"),
+        F.col("sp.cmp_id").alias("cmp_id"), F.col("sp.prd_id").alias("prd_id"),
+        F.col("sp.ts").alias("ts"), F.col("sp.offset").alias("offset"),
+    )
 
 
 def synth_documents(spark: SparkSession, sf: float) -> DataFrame:
-    """The public input table — exactly the BASELINE.json input_hint shape."""
-    from kgc.operators.spans import reassemble_spans
-
-    spans = synth_spans_internal(spark, sf).select("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
-    all_docs = spark.range(n_docs_for(sf)).select(F.format_string("doc-%010d", F.col("id")).alias("doc_id"))
-    return reassemble_spans(spans, all_docs=all_docs)
+    """The public input table — exactly the BASELINE.json input_hint shape.
+    Shuffle-free: a projection stripping the hidden GT fields."""
+    public = F.transform(
+        F.col("spans_full"),
+        lambda x: F.struct(
+            x["kind"].alias("kind"), x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"), x["offset"].alias("offset"),
+        ),
+    )
+    return _docs_internal(spark, sf).select("doc_id", public.alias("spans"))
 
 
 def ground_truth_triples(spark: SparkSession, sf: float) -> DataFrame:
