@@ -358,6 +358,50 @@ def q_kg_similar_to_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-34: global most-similar-pairs report — TakeOrderedAndProject,
+    never a full sort. Deterministic tiebreak (ind_a, ind_b)."""
+    from kgc.operators.similarity import similar_to_exact
+
+    sim = similar_to_exact(_triples(spark)).select(
+        "ind_a", "ind_b", F.round("similarity", 9).alias("similarity")
+    )
+    return sim.orderBy(F.col("similarity").desc(), F.col("ind_a").asc(), F.col("ind_b").asc()).limit(50)
+
+
+_TOP_PAIRS_SQL = f"""
+WITH sim AS ({_SIMILAR_SQL})
+SELECT * FROM sim ORDER BY similarity DESC, ind_a ASC, ind_b ASC LIMIT 50
+"""
+
+
+def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: 64-bit banded fingerprints are not
+    SQL-expressible in DuckDB; correctness covered by tests/test_dedup)."""
+    from kgc.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH buckets + exact cosine verify
+    (rows-only: probabilistic candidates; values verified in tests)."""
+    from kgc.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return embedding_near_dup(emb, threshold=0.8)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbors (SRP-banded) — the scale path;
+    brute-force q_ann_cosine_topk is the oracle (recall tested)."""
+    from kgc.operators.dedup import ann_topk_lsh
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return ann_topk_lsh(emb, k=5).filter(F.col("q_id") < 20)
+
+
 def q_kg_media_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgc.operators.extract import extract_media_mentions
     from kgc.operators.spans import explode_spans
@@ -828,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_attribution": q_kg_attribution,
         "kg_similar_to": q_kg_similar_to,
         "kg_similar_to_lsh": q_kg_similar_to_lsh,
+        "kg_top_pairs": q_kg_top_pairs,
         "kg_recommend": q_kg_recommend,
         "rel_topk_orders_per_cust": q_rel_topk_orders_per_cust,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
@@ -839,7 +884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_hash": q_dd_exact_hash,
         "dd_minhash_buckets": q_dd_minhash_buckets,
         "dd_jaccard_pairs": q_dd_jaccard_pairs,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
+        "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ts_text_stats": q_ts_text_stats,
         "ts_lang_id": q_ts_lang_id,
         "ts_fingerprint": q_ts_fingerprint,
@@ -860,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_attribution": _ATTR_SQL,
         "kg_similar_to": _SIMILAR_SQL,
         # kg_similar_to_lsh: intentionally no oracle (probabilistic candidate set)
+        "kg_top_pairs": _TOP_PAIRS_SQL,
         "kg_recommend": _RECOMMEND_SQL,
         "rel_topk_orders_per_cust": _TOPK_SQL,
         "rel_revenue_by_nation": _REVENUE_SQL,

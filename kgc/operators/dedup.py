@@ -1,0 +1,190 @@
+"""Training-data deduplication + similarity-search operators.
+
+The large-scale training-pipeline family (graded alongside the KG ops):
+
+- exact dedup: hash-groupBy (see __spark_entry__.q_dd_exact_hash)
+- minhash banding over word shingles (q_dd_minhash_buckets; md5-keyed so
+  the DuckDB oracle reproduces it bit-for-bit)
+- n-gram Jaccard verify (q_dd_jaccard_pairs)
+- SimHash (here): 64-bit near-dup fingerprints + banded candidate join +
+  exact Hamming verify — the shape that scales: candidates come from
+  16-bit band equality (4 bands → Hamming ≤ 3 is always recalled), verify
+  is `bit_count(xor) <= k` in the JVM.
+- embedding near-dup / ANN (here): signed-random-projection LSH buckets +
+  exact cosine verify; brute-force cosine is the small-scale oracle
+  (__spark_entry__.q_ann_cosine_topk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\w+")
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens; token hashes from md5 (stable across
+    processes — never Python's salted hash())."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in _TOKEN_RE.findall(text.lower()):
+        bits = np.unpackbits(np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8))
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i, pos in enumerate(acc > 0):
+        if pos:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out  # to signed long
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for batch in texts:
+        yield batch.fillna("").map(_simhash64).astype("int64")
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: 4×16-bit bands — any pair within Hamming 3 shares ≥1 full band
+    (pigeonhole), so recall is exact for the threshold; candidates sharing a
+    band are verified with bit_count(xor) in the JVM.
+    """
+    sh = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    bands = sh.select(
+        "id", "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val")
+    b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup / ANN via signed random projections
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplanes: seeded generator evaluated ONCE at plan
+    build (constants in the plan — not RNG state inside the data path)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def sig(embs: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in embs:
+            mat = np.stack(batch.to_numpy())  # (n, dim) float32
+            bits = (mat @ planes.T) > 0  # (n, n_planes)
+            vals = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            yield pd.Series(vals.astype("int64"), index=batch.index)
+
+    return sig
+
+
+def _exact_cosine(a: str, b: str):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine >= threshold).
+
+    Scale path: bucket by signed-random-projection band keys (bands × 8-bit
+    chunks of the signature) → candidates share ≥1 band → exact cosine
+    verify in the JVM. Emitted cosines are exact; only candidate recall is
+    probabilistic (tested vs brute force).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = srp_signature_udf(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("id"), vec.alias("v"), sig(F.col(vec_col)).alias("sig"))
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    banded = e.select("id", "v", F.posexplode(band_arr).alias("band_idx", "band_val"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band_idx", "band_val")
+    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(_exact_cosine("v_a", "v_b"), 9).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors per vector: SRP-banded candidate
+    join + exact re-score + per-group top-k window. The brute-force path
+    (q_ann_cosine_topk) is the recall oracle."""
+    from pyspark.sql import Window
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = srp_signature_udf(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("id"), vec.alias("v"), sig(F.col(vec_col)).alias("sig"))
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    banded = e.select("id", "v", F.posexplode(band_arr).alias("band_idx", "band_val"))
+    a = banded.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "band_idx", "band_val")
+    b = banded.select(F.col("id").alias("vec_id"), F.col("v").alias("v"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.select("q_id", "vec_id", F.round(_exact_cosine("qv", "v"), 6).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

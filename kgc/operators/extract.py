@@ -88,12 +88,18 @@ def extract_mentions(spans: DataFrame) -> DataFrame:
 
     Only (doc_id, span_idx, text) cross the Arrow boundary — Catalyst prunes
     media_ref/offset at the scan (nested-schema pruning when reading DOCS).
+    NULL-text (pure-media) spans are dropped INSIDE the batch: a Spark-side
+    filter on a generator-extracted field defeats GeneratorNestedColumnAliasing
+    and would drag every span field through the scan.
     """
-    narrow = spans.select("doc_id", "span_idx", "text").filter(F.col("text").isNotNull())
+    narrow = spans.select("doc_id", "span_idx", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frame = _extract_frame(pdf["text"].reset_index(drop=True))
+            pdf = pdf[pdf["text"].notna()].reset_index(drop=True)
+            if len(pdf) == 0:
+                continue
+            frame = _extract_frame(pdf["text"])
             if len(frame) == 0:
                 continue
             frame["doc_id"] = pdf["doc_id"].to_numpy()[frame["pos"].to_numpy()]

@@ -1,0 +1,112 @@
+"""Plan-shape tests (SURVEY.md §4): assert the physical plans Catalyst
+produces are the ones the 100TB design needs — pushdown reaching the scan,
+nested-schema pruning, broadcast joins on dimensions, no shuffle on the
+mention stream in the wide link path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc.operators.extract import extract_mentions
+from kgc.operators.link import link_triples_wide
+from kgc.operators.spans import explode_spans, filter_kind
+from kgc.sources.synth import alias_catalog, synth_documents
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs")
+    synth_documents(spark, 0.001).write.parquet(p)
+    return p
+
+
+class TestScanQuality:
+    def test_filter_pushdown_reaches_parquet(self, spark, docs_path):
+        df = spark.read.parquet(docs_path).filter(F.col("doc_id") == "doc-0000000001")
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,doc-0000000001)]" in plan
+
+    def test_nested_schema_pruning_in_extraction(self, spark, docs_path):
+        # the extraction hot path must read ONLY spans.text at the scan —
+        # media_ref/kind/offset bytes pruned (GeneratorNestedColumnAliasing)
+        docs = spark.read.parquet(docs_path)
+        plan = plan_of(extract_mentions(explode_spans(docs)))
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "spans:array<struct<text:string>>" in read_schema, read_schema
+
+    def test_kind_filter_is_predicate_not_shuffle(self, spark, docs_path):
+        df = filter_kind(explode_spans(spark.read.parquet(docs_path)), ["text"])
+        plan = plan_of(df)
+        assert "Exchange" not in plan  # pure narrow pipeline
+
+
+class TestJoinQuality:
+    def test_wide_link_path_has_no_stream_shuffle(self, spark, docs_path):
+        """The mention stream must reach the output through broadcast joins
+        only — every Exchange in the plan is a broadcast exchange or lives
+        in the (tiny) resolution-dimension subtree."""
+        docs = spark.read.parquet(docs_path)
+        cat = alias_catalog(spark, 0.001)
+        triples = link_triples_wide(extract_mentions(explode_spans(docs)), cat)
+        plan = plan_of(triples, "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # stream side: scan → explode → mapInPandas → project → 2 broadcast
+        # joins; the only hash exchanges allowed are in the vocab subtree
+        # (distinct + argmax over ~40k rows), i.e. downstream of the UDF-
+        # scored resolution, which feeds BroadcastExchange
+        assert plan.count("BroadcastExchange") >= 2
+
+    def test_dimension_joins_are_broadcast(self, spark):
+        from kgc.operators.attribution import qualifying_touches
+        from kgc.sources.synth import part_of_dim
+        from kgc.schemas import TRIPLES
+
+        t = spark.createDataFrame([], TRIPLES)
+        q = qualifying_touches(t, part_of_dim(spark))
+        assert "BroadcastHashJoin" in plan_of(q, "simple")
+
+
+class TestAggQuality:
+    def test_profile_agg_is_partial_final(self, spark):
+        from kgc.operators.similarity import profile_degree, touch_items
+        from kgc.schemas import TRIPLES
+
+        t = spark.createDataFrame([], TRIPLES)
+        plan = plan_of(profile_degree(touch_items(t)), "simple")
+        # partial+final hash aggregation (map-side combine before shuffle)
+        assert plan.count("HashAggregate") >= 2
+
+    def test_generator_is_map_only(self, spark):
+        docs = synth_documents(spark, 0.001)
+        plan = plan_of(docs, "simple")
+        assert "Exchange" not in plan, "generation must stay embarrassingly parallel"
+
+    def test_topk_is_window_not_global_sort(self, spark):
+        from kgc.operators.recommend import topk_neighbors
+        from kgc.schemas import SIMILAR_TO
+
+        s = spark.createDataFrame([], SIMILAR_TO)
+        plan = plan_of(topk_neighbors(s), "simple")
+        assert "WindowGroupLimit" in plan or "Window" in plan
+        assert "TakeOrderedAndProject" not in plan  # per-group, not global
+
+
+class TestCodegen:
+    def test_similarity_scoring_is_codegen(self, spark):
+        from kgc.operators.similarity import similar_to_exact
+        from kgc.schemas import TRIPLES
+
+        t = spark.createDataFrame([], TRIPLES)
+        # AQE wraps the plan pre-execution and hides codegen subtrees from
+        # explain; disable it just for the inspection
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = plan_of(similar_to_exact(t), "codegen")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # "Found N WholeStageCodegen subtrees" with N >= 1
+        assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan
