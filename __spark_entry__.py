@@ -418,6 +418,67 @@ FROM s WHERE media_ref IS NOT NULL AND regexp_matches(media_ref, '_act-\\d{{3}}\
 """
 
 
+def q_kg_events_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GraphGist capability applied to the driver's event stream:
+    users' binary event-type profiles → Otsuka–Ochiai over the co-event
+    inverted index (same op-16/22/24 shape, external data)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    items = ev.select("user_id", "event_type").distinct()
+    deg = items.groupBy("user_id").agg(F.count("*").alias("deg"))
+    it = items.join(deg, "user_id")
+    a = it.select(F.col("user_id").alias("user_a"), "event_type", F.col("deg").alias("deg_a"))
+    b = it.select(F.col("user_id").alias("user_b"), "event_type", F.col("deg").alias("deg_b"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("inter"), F.max("deg_a").alias("da"), F.max("deg_b").alias("db"))
+    )
+    return pairs.select(
+        "user_a", "user_b",
+        F.round(F.col("inter") / F.sqrt(F.col("da").cast("double") * F.col("db")), 9).alias("similarity"),
+    ).filter(F.col("similarity") >= 0.999999999)  # demo: fully-overlapping profiles
+
+
+_EVENTS_SIMILAR_SQL = """
+WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+deg AS (SELECT user_id, count(*) AS d FROM items GROUP BY user_id),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS inter
+  FROM items a JOIN items b ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT user_a, user_b, round(inter / sqrt(da.d * db.d), 9) AS similarity
+FROM pairs JOIN deg da ON da.user_id = user_a JOIN deg db ON db.user_id = user_b
+WHERE round(inter / sqrt(da.d * db.d), 9) >= 0.999999999
+"""
+
+
+def q_sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-49: the extraction surface driven entirely through spark.sql()
+    with registered UDFs — must equal the DataFrame-API mention counts."""
+    from kgc.functions.register import register_all
+
+    register_all(spark)
+    _docs(spark).createOrReplaceTempView("kgc_docs")
+    return spark.sql(
+        """
+        SELECT m.mention_type, count(*) AS n
+        FROM (
+          SELECT explode(kgc_detect_mentions(s.span.text)) AS m
+          FROM (SELECT posexplode(spans) AS (span_idx, span) FROM kgc_docs) s
+        )
+        GROUP BY m.mention_type
+        """
+    )
+
+
+_SQL_PARITY_SQL = f"""
+WITH m AS ({_MENTIONS_SQL})
+SELECT mention_type, count(*) AS n FROM m GROUP BY mention_type
+"""
+
+
 # ===========================================================================
 # Relational family (driver TPC-H-ish tables; oracle uses registered views)
 # ===========================================================================
@@ -874,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_similar_to_lsh": q_kg_similar_to_lsh,
         "kg_top_pairs": q_kg_top_pairs,
         "kg_recommend": q_kg_recommend,
+        "kg_events_similar_users": q_kg_events_similar_users,
+        "sql_api_parity": q_sql_api_parity,
         "rel_topk_orders_per_cust": q_rel_topk_orders_per_cust,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
@@ -910,6 +973,8 @@ def oracle_sql() -> dict[str, str]:
         # kg_similar_to_lsh: intentionally no oracle (probabilistic candidate set)
         "kg_top_pairs": _TOP_PAIRS_SQL,
         "kg_recommend": _RECOMMEND_SQL,
+        "kg_events_similar_users": _EVENTS_SIMILAR_SQL,
+        "sql_api_parity": _SQL_PARITY_SQL,
         "rel_topk_orders_per_cust": _TOPK_SQL,
         "rel_revenue_by_nation": _REVENUE_SQL,
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
