@@ -1,0 +1,123 @@
+"""T3 property tests (hypothesis): invariants that must hold for ANY input,
+not just the synthetic corpus. Spark jobs per example are expensive, so
+example counts are small and deadlines disabled."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgc.operators.canon import connected_components, salted_dedup
+from kgc.operators.similarity import similar_to_exact
+from kgc.operators.spans import explode_spans, reassemble_spans, span_sequence_fingerprint
+from kgc.schemas import DOCS, TRIPLES
+
+SET = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+span_st = st.tuples(
+    st.sampled_from(["text", "image", "video"]),
+    st.one_of(st.none(), st.text(min_size=0, max_size=20)),
+    st.one_of(st.none(), st.text(alphabet="abc/:.", min_size=1, max_size=12)),
+)
+doc_st = st.lists(span_st, min_size=0, max_size=6)
+
+
+@st.composite
+def docs_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    for i in range(n):
+        spans = [
+            (k, t, m, off * 7)  # strictly increasing offsets
+            for off, (k, t, m) in enumerate(draw(doc_st))
+        ]
+        rows.append((f"d{i}", spans))
+    return rows
+
+
+class TestRoundTripProperty:
+    @SET
+    @given(rows=docs_rows())
+    def test_explode_reassemble_preserves_span_sequence(self, spark, rows):
+        docs = spark.createDataFrame(rows, DOCS)
+        back = reassemble_spans(explode_spans(docs), all_docs=docs)
+        a = {r["doc_id"]: (r["span_fp"], r["n_spans"]) for r in span_sequence_fingerprint(docs).collect()}
+        b = {r["doc_id"]: (r["span_fp"], r["n_spans"]) for r in span_sequence_fingerprint(back).collect()}
+        assert a == b
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).map(lambda t: (f"n{t[0]}", f"n{t[1]}")),
+    min_size=1,
+    max_size=12,
+)
+
+
+class TestCCProperty:
+    @SET
+    @given(edges=edges_st)
+    def test_cc_matches_union_find(self, spark, edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        # reference: driver-side union-find
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comps = {}
+        for n in parent:
+            comps.setdefault(find(n), []).append(n)
+        want = {n: min(members) for members in comps.values() for n in members}
+        assert got == want
+
+
+class TestDedupProperty:
+    @SET
+    @given(
+        rows=st.lists(st.tuples(st.text("ab", max_size=3), st.integers(0, 3)), min_size=0, max_size=30),
+        n_salt=st.sampled_from([1, 4, 16]),
+    )
+    def test_salted_dedup_equals_distinct(self, spark, rows, n_salt):
+        df = spark.createDataFrame(rows, "k string, v int") if rows else spark.createDataFrame([], "k string, v int")
+        got = sorted(map(tuple, salted_dedup(df, ["k", "v"], n_salt=n_salt).collect()))
+        want = sorted(set(rows))
+        assert got == want
+
+
+class TestSimilarityProperty:
+    @SET
+    @given(
+        touches=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 6)).map(lambda t: (f"i{t[0]}", f"act-00{t[1]}")),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_otsuka_ochiai_matches_brute_force(self, spark, touches):
+        rows = [(i, "TOUCHED", a, None, "d", 0) for i, a in touches]
+        t = spark.createDataFrame(rows, TRIPLES)
+        got = {(r["ind_a"], r["ind_b"]): r["similarity"] for r in similar_to_exact(t).collect()}
+        profiles = {}
+        for i, a in touches:
+            profiles.setdefault(i, set()).add(a)
+        want = {}
+        inds = sorted(profiles)
+        for x in range(len(inds)):
+            for y in range(x + 1, len(inds)):
+                a, b = inds[x], inds[y]
+                inter = len(profiles[a] & profiles[b])
+                if inter >= 1:
+                    want[(a, b)] = inter / math.sqrt(len(profiles[a]) * len(profiles[b]))
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
