@@ -601,6 +601,41 @@ SELECT p_partkey FROM part WHERE p_size < 25
 """
 
 
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-21 in the gate: deterministic salted join must equal the plain
+    join — aggregated per nation so the result is compact."""
+    from kgc.operators.skew import salted_join
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer")).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(orders, cust, "o_custkey", n_salt=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 0).cast("long").alias("total"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_rel_salted_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-29 in the gate: two-phase salted distinct == SELECT DISTINCT."""
+    from kgc.operators.canon import salted_dedup
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return salted_dedup(ev.select("user_id", "event_type"), ["user_id", "event_type"], n_salt=8)
+
+
+_SALTED_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def q_rel_from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(_t(sf_dir, "events"))
     k = F.from_json("props", "map<string,int>").getItem("k")
@@ -942,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_rollup_lineitem": q_rel_rollup_lineitem,
         "rel_set_ops": q_rel_set_ops,
+        "rel_salted_join": q_rel_salted_join,
+        "rel_salted_dedup": q_rel_salted_dedup,
         "rel_from_json_events": q_rel_from_json_events,
         "rel_asof_last_event": q_rel_asof_last_event,
         "dd_exact_hash": q_dd_exact_hash,
@@ -980,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
         "rel_rollup_lineitem": _ROLLUP_SQL,
         "rel_set_ops": _SET_OPS_SQL,
+        "rel_salted_join": _SALTED_JOIN_SQL,
+        "rel_salted_dedup": _SALTED_DEDUP_SQL,
         "rel_from_json_events": _FROM_JSON_SQL,
         "rel_asof_last_event": _ASOF_SQL,
         "dd_exact_hash": _DD_EXACT_SQL,

@@ -74,6 +74,7 @@ def write_table(
     bucket_by: str | None = None,
     n_buckets: int = N_BUCKETS_DEFAULT,
     mode: str = "overwrite",
+    sorted_files: bool = False,
 ) -> None:
     """op-02: write a table, hash-bucketed by `bucket_by` when given.
 
@@ -85,10 +86,15 @@ def write_table(
         # Cluster rows by bucket before the partitioned write: one file per
         # bucket dir instead of (tasks × buckets) small files — the same
         # layout Iceberg's bucket() transform produces, and the write-side
-        # half of a storage-partitioned join.
+        # half of a storage-partitioned join. sorted_files=True additionally
+        # sortWithinPartitions for byte-stable files (op-35, golden outputs);
+        # off by default — content-level determinism is already guaranteed
+        # and checked via order-independent partition fingerprints (op-05).
         writer = df.withColumn("bucket", bucket_col(bucket_by, n_buckets)).repartition(
             n_buckets, F.col("bucket")
         )
+        if sorted_files:
+            writer = writer.sortWithinPartitions(*df.columns)
         writer.write.mode(mode).partitionBy("bucket").parquet(path)
     else:
         df.write.mode(mode).parquet(path)
