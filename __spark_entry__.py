@@ -831,31 +831,58 @@ SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rk FROM (
 _STOPWORDS = "(the|and|of|to|in|a|is|that|it|for)"
 
 
+# GPT-2-ish pre-tokenizer shape: contractions, letter runs, digit runs,
+# single non-space symbols — identical regex in both engines.
+_BPE_RE = r"('s|'t|'re|'ve|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escaped for the SQL string literal
+
+
 def q_ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring features: token/char counts, stopword + punct ratios."""
+    """Quality-scoring features: whitespace + BPE-ish token counts, stopword
+    and punctuation ratios, and a composite quality score (all mirrored
+    exactly in the DuckDB oracle)."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     n_tok = F.size(tokens)
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 1))
     n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b{_STOPWORDS}\b"), 1))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"([^\w\s])"), 1))
+    stop_ratio = F.round(n_stop / n_tok, 6)
+    punct_ratio = F.round(n_punct / F.length("text"), 6)
+    # quality heuristic: reward stopword presence (natural prose), penalize
+    # punctuation soup and extreme lengths
+    quality = F.round(
+        F.least(stop_ratio * 4, F.lit(1.0)) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        * F.when((n_tok >= 5) & (n_tok <= 5000), 1.0).otherwise(0.2),
+        6,
+    )
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tok.alias("n_tokens"),
-        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
-        F.round(n_punct / F.length("text"), 6).alias("punct_ratio"),
+        n_bpe.alias("n_bpe_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
     )
 
 
 _TEXT_STATS_SQL = f"""
-SELECT doc_id,
-       length(text) AS n_chars,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-       round(CAST(len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b', 1)) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
-       round(CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS DOUBLE)
-             / length(text), 6) AS punct_ratio
-FROM documents
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '{_BPE_RE_SQL}', 1)) AS n_bpe_tokens,
+         round(CAST(len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b', 1)) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
+         round(CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS DOUBLE)
+               / length(text), 6) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio,
+       round(least(stopword_ratio * 4, 1.0) * (1 - least(punct_ratio * 5, 1.0))
+             * CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.2 END, 6) AS quality_score
+FROM f
 """
 
 
@@ -934,6 +961,24 @@ FROM s WHERE media_ref IS NOT NULL
 """
 
 
+def q_mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (flat-map mapInPandas; deterministic
+    fake frame fingerprints mirrored in SQL)."""
+    from kgc.operators.multimodal import sample_video_frames
+    from kgc.operators.spans import explode_spans
+
+    return sample_video_frames(explode_spans(_docs(spark)), n_frames=3)
+
+
+_MM_FRAMES_SQL = f"""
+WITH s AS ({_SPANS_SQL})
+SELECT doc_id, span_idx, CAST(f AS INT) AS frame_idx,
+       md5(media_ref || ':' || CAST(f AS VARCHAR)) AS frame_fp
+FROM s, generate_series(0, 2) AS t(f)
+WHERE kind = 'video'
+"""
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1-day windows with watermark over the
     events table (file source drives the stream to completion); oracle is
@@ -992,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lang_id": q_ts_lang_id,
         "ts_fingerprint": q_ts_fingerprint,
         "mm_media_features": q_mm_media_features,
+        "mm_frame_samples": q_mm_frame_samples,
         "stream_window_counts": q_stream_window_counts,
     }
 
@@ -1029,5 +1075,6 @@ def oracle_sql() -> dict[str, str]:
         "ts_lang_id": _LANG_ID_SQL,
         "ts_fingerprint": _FINGERPRINT_SQL,
         "mm_media_features": _MM_SQL,
+        "mm_frame_samples": _MM_FRAMES_SQL,
         "stream_window_counts": _STREAM_SQL,
     }

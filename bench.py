@@ -77,7 +77,6 @@ def main() -> None:
 
     # --- fused construction throughput (the scaling workload) --------------
     import shutil as _sh
-    from kgc.plans.run import build_triples_fused
     from kgc.operators.canon import entities_canon_map as _ecm, salted_dedup as _sd
     from kgc.sources.synth import alias_catalog as _ac, alias_edges as _ae, synth_documents as _syn
 

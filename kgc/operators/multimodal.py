@@ -46,6 +46,37 @@ def _fake_decode(md5_hex: str) -> tuple[int, int]:
     return width, height
 
 
+FRAME_SAMPLES = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_idx", T.IntegerType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_fp", T.StringType(), False),
+    ]
+)
+
+
+def sample_video_frames(spans: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame-sampling plumbing for video spans: emits n_frames rows per
+    video span via mapInPandas (a flat-map — the real decode would seek
+    n uniformly-spaced frames; the stubbed frame fingerprint is
+    md5(media_ref + ':' + frame_idx), mirrored by the SQL oracle)."""
+    videos = spans.filter(F.col("kind") == "video").select("doc_id", "span_idx", "media_ref")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rep = pdf.loc[pdf.index.repeat(n_frames)].reset_index(drop=True)
+            rep["frame_idx"] = (rep.groupby(["doc_id", "span_idx"]).cumcount()).astype("int32")
+            rep["frame_fp"] = (rep["media_ref"] + ":" + rep["frame_idx"].astype(str)).map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()
+            )
+            yield rep[["doc_id", "span_idx", "frame_idx", "frame_fp"]]
+
+    return videos.mapInPandas(run, schema=FRAME_SAMPLES)
+
+
 def extract_media_features(spans: DataFrame) -> DataFrame:
     """Media spans → (doc_id, span_idx, kind, width, height, content_fp)
     via Arrow-batched mapInPandas. Only 4 narrow columns cross the boundary."""

@@ -1,6 +1,6 @@
 """Tests for the training-data dedup / similarity-search operators."""
 
-import pytest
+
 from pyspark.sql import functions as F
 
 from kgc.operators.dedup import (

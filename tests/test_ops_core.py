@@ -6,11 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from kgc.functions.text import block_key, normalize_surface
-from kgc.operators.attribution import attribute, conversions_of, qualifying_touches
+from kgc.operators.attribution import attribute
 from kgc.operators.canon import connected_components, salted_dedup
 from kgc.operators.extract import detect_mentions_udf, extract_media_mentions, extract_mentions
-from kgc.operators.recommend import recommend, topk_neighbors
-from kgc.operators.similarity import score_pairs, similar_to_exact, touch_items
+from kgc.operators.recommend import recommend
+from kgc.operators.similarity import similar_to_exact
 from kgc.operators.spans import explode_spans, reassemble_spans, span_sequence_fingerprint
 from kgc.schemas import DOCS, TRIPLES
 
