@@ -308,8 +308,11 @@ def q_kg_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = neighbors.join(
         purchases.select(F.col("individual").alias("neighbor"), "product"), "neighbor"
     ).join(purchases, ["individual", "product"], "left_anti")
+    # exact decimal summation: sum-of-doubles is order-dependent at ~1e-16,
+    # which flips the 9th-decimal rounding across engines; decimal is exact
     scored = cands.groupBy("individual", "product").agg(
-        F.round(F.sum("similarity"), 9).alias("score")
+        F.sum(F.round("similarity", 9).cast("decimal(20,9)"))
+        .cast("decimal(20,9)").cast("double").alias("score")
     )
     w = Window.partitionBy("individual").orderBy(F.col("score").desc(), F.col("product").asc())
     return (
@@ -337,7 +340,8 @@ sym AS (
   FROM knn k JOIN purch p ON p.individual = k.neighbor
   WHERE NOT EXISTS (SELECT 1 FROM purch o WHERE o.individual = k.individual AND o.product = p.product)
 ), scored AS (
-  SELECT individual, product, round(sum(similarity), 9) AS score
+  SELECT individual, product,
+         CAST(CAST(sum(CAST(round(similarity, 9) AS DECIMAL(20,9))) AS DECIMAL(20,9)) AS DOUBLE) AS score
   FROM cand GROUP BY 1, 2
 )
 SELECT individual, product, score, CAST(rank AS INT) AS rank FROM (

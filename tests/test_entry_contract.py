@@ -22,7 +22,7 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return v  # BIT-EXACT: every query is engineered so doubles agree
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     return v
