@@ -19,12 +19,33 @@ tie-broken on a unique id, column names aliased identically.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:  # the driver may import this module from another cwd
+    sys.path.insert(0, REPO)
+
+
+def _pin_session(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; pin the two confs whose
+    defaults would silently change results: UTC (timestamp parsing /
+    epoch conversion parity with DuckDB) and Arrow (pandas-UDF path)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _with_pinned_session(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 ORACLE = os.path.join(REPO, "data", "oracle", "sf0.01")
 DOCS_PQ = os.path.join(ORACLE, "documents.parquet")
 EDGES_PQ = os.path.join(ORACLE, "alias_edges.parquet")
@@ -64,6 +85,7 @@ def _t(sf_dir: str, name: str) -> str:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synth sf0.001 interleaved docs → extract → link → canon →
     similarity → kNN RECOMMEND edges. Driver checks rows>0, stable schema."""
+    _pin_session(spark)
     from kgc.operators.canon import entities_canon_map, salted_dedup
     from kgc.operators.extract import extract_mentions
     from kgc.operators.link import link_mentions, mentions_to_long
@@ -1006,7 +1028,10 @@ FROM events GROUP BY 1, 2
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _with_pinned_session(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_spans_flat": q_kg_spans_flat,
         "kg_roundtrip_spans": q_kg_roundtrip_spans,
         "kg_mentions": q_kg_mentions,
