@@ -627,6 +627,79 @@ SELECT p_partkey FROM part WHERE p_size < 25
 """
 
 
+def q_rel_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (explicit value list so the
+    output schema is static — required for a pushdown-friendly pivot)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_rel_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit frame: per-customer running order
+    total by date (rowsBetween unboundedPreceding→current)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        running.cast("decimal(18,2)").cast("string").alias("running_total"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS VARCHAR) AS running_total
+FROM orders WHERE o_custkey < 200
+"""
+
+
+def q_rel_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family: CUBE over (returnflag, linestatus)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-21 in the gate: deterministic salted join must equal the plain
     join — aggregated per nation so the result is compact."""
@@ -1050,6 +1123,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_rollup_lineitem": q_rel_rollup_lineitem,
+    "rel_cube_lineitem": q_rel_cube_lineitem,
+    "rel_pivot_orders": q_rel_pivot_orders,
+    "rel_running_total": q_rel_running_total,
         "rel_set_ops": q_rel_set_ops,
         "rel_salted_join": q_rel_salted_join,
         "rel_salted_dedup": q_rel_salted_dedup,
@@ -1091,6 +1167,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_revenue_by_nation": _REVENUE_SQL,
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
         "rel_rollup_lineitem": _ROLLUP_SQL,
+        "rel_cube_lineitem": _CUBE_SQL,
+        "rel_pivot_orders": _PIVOT_SQL,
+        "rel_running_total": _RUNNING_SQL,
         "rel_set_ops": _SET_OPS_SQL,
         "rel_salted_join": _SALTED_JOIN_SQL,
         "rel_salted_dedup": _SALTED_DEDUP_SQL,

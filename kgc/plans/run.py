@@ -171,7 +171,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.001)
     ap.add_argument("--workdir", default="/tmp/kgc_run")
-    ap.add_argument("--stage", default="all")  # reserved: all stages always resolve via manifests
+    ap.add_argument(
+        "--stage", default="all",
+        help="'all' (default) or a stage name: invalidate that one stage and "
+             "re-run the DAG (upstream stages resume from their manifests)",
+    )
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--lsh-sim", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
@@ -181,6 +185,10 @@ def main() -> None:
     from kgc.session import get_spark
 
     spark = get_spark(app_name=f"kgc-sf{args.sf}", cpus=args.cpus)
+    if args.stage != "all":
+        from kgc.sources.catalog import invalidate
+
+        invalidate(os.path.join(args.workdir, args.stage))
     t0 = time.time()
     tables = run_pipeline(
         spark, args.workdir, args.sf, force=args.force, lsh_sim=args.lsh_sim, until=args.until

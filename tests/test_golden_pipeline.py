@@ -135,3 +135,32 @@ class TestResume:
         workdir, _ = pipeline
         stages = glob.glob(os.path.join(workdir, "stage_metrics", "*"))
         assert len(stages) >= 8
+
+
+class TestCrashRecovery:
+    def test_mid_pipeline_crash_then_resume(self, spark, tmp_path, monkeypatch):
+        """Simulate a crash during the similarity stage: the run dies, a
+        fresh run resumes every completed stage and recomputes only the
+        rest, and the final triples equal an uninterrupted run's."""
+        import kgc.operators.similarity as sim
+        from kgc.sources.synth import ground_truth_triples
+
+        workdir = str(tmp_path / "crash")
+        real = sim.similar_to_exact
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(sim, "similar_to_exact", boom)
+        import kgc.plans.run as runmod
+
+        monkeypatch.setattr(runmod, "similar_to_exact", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_pipeline(spark, workdir, SF, force=True)
+        monkeypatch.setattr(runmod, "similar_to_exact", real)
+        tables = run_pipeline(spark, workdir, SF)  # resume
+        gt = ground_truth_triples(spark, SF)
+        keys = ["subj", "pred", "obj", "ts", "doc_id", "span_idx"]
+        pr = pr_eval(tables["triples"].select(*keys), gt.select(*keys), keys)
+        assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+        assert tables["recommendations"].count() > 0
