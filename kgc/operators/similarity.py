@@ -81,22 +81,78 @@ def hot_activities(items: DataFrame, fraction: float = HOT_FRACTION) -> DataFram
     )
 
 
-def candidate_pairs_exact(items: DataFrame) -> DataFrame:
+def _salted_self_pairs(items_hot: DataFrame, n_salt: int) -> DataFrame:
+    """op-21 applied to SELF-join pair generation on hot blocking keys.
+
+    Plain self-join puts every pair of a hot activity's deg² output on one
+    reducer. Salting for a self-join needs the triangular replication trick:
+    give each row a deterministic salt g = pmod(xxhash64(ind), G); the left
+    copy of a row fans out to join keys (act, g, g2) for g2 in [g, G),
+    the right copy to (act, g1, g) for g1 in [0, g] — every unordered salt
+    pair (g1 <= g2) meets on exactly one reducer, so the hot key's work
+    spreads over G(G+1)/2 reducers. Output = the plain self-join exactly.
+    """
+    g = F.pmod(F.xxhash64(F.col("individual")), F.lit(n_salt)).cast("int")
+    it = items_hot.withColumn("_g", g)
+    a = it.select(
+        F.col("individual").alias("_ia"), "act", F.col("deg").alias("_da"),
+        F.col("_g").alias("_g1"),
+        F.explode(F.sequence(F.col("_g"), F.lit(n_salt - 1))).alias("_g2"),
+    )
+    b = it.select(
+        F.col("individual").alias("_ib"), "act", F.col("deg").alias("_db"),
+        F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_g1"),
+        F.col("_g").alias("_g2"),
+    )
+    joined = a.join(b, ["act", "_g1", "_g2"])
+    # off-diagonal salt pairs meet exactly once (A = lower-salt row) in
+    # arbitrary id order → canonicalize ids; the diagonal block meets in
+    # BOTH orders → keep only _ia < _ib there
+    joined = joined.filter((F.col("_g1") != F.col("_g2")) | (F.col("_ia") < F.col("_ib"))).filter(
+        F.col("_ia") != F.col("_ib")
+    )
+    swap = F.col("_ia") > F.col("_ib")
+    return joined.select(
+        "act",
+        F.when(swap, F.col("_ib")).otherwise(F.col("_ia")).alias("ind_a"),
+        F.when(swap, F.col("_db")).otherwise(F.col("_da")).alias("deg_a"),
+        F.when(swap, F.col("_ia")).otherwise(F.col("_ib")).alias("ind_b"),
+        F.when(swap, F.col("_da")).otherwise(F.col("_db")).alias("deg_b"),
+    )
+
+
+def candidate_pairs_exact(items: DataFrame, hot_acts: DataFrame | None = None, n_salt: int = 8) -> DataFrame:
     """op-16 + op-24: exact co-touch pairs with intersection counts.
 
     Carrying `deg` on the item rows means the pair aggregation yields
     |A∩B|, |A|, |B| in ONE shuffle — no join back to profiles (the
     reference's `size((i)-[:TOUCHED]->())` degree-lookup trick, columnar).
+
+    With `hot_acts` (op-26 output), pair generation for those activities
+    goes through the salted triangular self-join (op-21) so a planted hot
+    key spreads over n_salt(n_salt+1)/2 reducers — results are EXACTLY
+    equal either way (tests/test_skew.py); AQE skew-join is the backstop
+    when no explicit hot list is supplied.
     """
     deg = profile_degree(items)
     it = items.join(deg, "individual")
-    a = it.select(F.col("individual").alias("ind_a"), "act", F.col("deg").alias("deg_a"))
-    b = it.select(F.col("individual").alias("ind_b"), "act", F.col("deg").alias("deg_b"))
-    return (
-        a.join(b, "act")
-        .filter(F.col("ind_a") < F.col("ind_b"))
-        .groupBy("ind_a", "ind_b")
-        .agg(F.count("*").alias("inter"), F.max("deg_a").alias("deg_a"), F.max("deg_b").alias("deg_b"))
+    if hot_acts is not None:
+        cold = it.join(hot_acts, "act", "left_anti")
+        hot = it.join(F.broadcast(hot_acts), "act", "left_semi")
+        a = cold.select(F.col("individual").alias("ind_a"), "act", F.col("deg").alias("deg_a"))
+        b = cold.select(F.col("individual").alias("ind_b"), "act", F.col("deg").alias("deg_b"))
+        joined = (
+            a.join(b, "act")
+            .filter(F.col("ind_a") < F.col("ind_b"))
+            .select("act", "ind_a", "deg_a", "ind_b", "deg_b")
+            .unionByName(_salted_self_pairs(hot, n_salt))
+        )
+    else:
+        a = it.select(F.col("individual").alias("ind_a"), "act", F.col("deg").alias("deg_a"))
+        b = it.select(F.col("individual").alias("ind_b"), "act", F.col("deg").alias("deg_b"))
+        joined = a.join(b, "act").filter(F.col("ind_a") < F.col("ind_b"))
+    return joined.groupBy("ind_a", "ind_b").agg(
+        F.count("*").alias("inter"), F.max("deg_a").alias("deg_a"), F.max("deg_b").alias("deg_b")
     )
 
 

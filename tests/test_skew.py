@@ -41,3 +41,20 @@ class TestPlantedHotActivity:
         gt = ground_truth_triples(spark, 0.001)
         stop = hot_activities(touch_items(gt))
         assert [r["act"] for r in stop.collect()] == [0]
+
+
+class TestSaltedSimilarity:
+    def test_salted_hot_path_equals_plain(self, spark):
+        """The SURVEY T6 promise: with the planted hot activity routed
+        through the salted triangular self-join, pair counts and similarity
+        values equal the unsalted exact path exactly."""
+        from kgc.operators.similarity import candidate_pairs_exact, score_pairs
+
+        gt = ground_truth_triples(spark, 0.001)
+        items = touch_items(gt).cache()
+        hot = hot_activities(items)
+        plain = score_pairs(candidate_pairs_exact(items))
+        salted = score_pairs(candidate_pairs_exact(items, hot_acts=hot, n_salt=4))
+        a = sorted(map(tuple, plain.collect()), key=repr)
+        b = sorted(map(tuple, salted.collect()), key=repr)
+        assert a == b
