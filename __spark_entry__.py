@@ -139,6 +139,30 @@ FROM {_D} d
 """
 
 
+def q_kg_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage: the interleaved-doc table ingested from
+    newline-delimited JSON with the explicit DOCS schema (no inference on a
+    production path), exploded to flat spans; DuckDB reads the same files
+    with read_json."""
+    from kgc.operators.spans import explode_spans
+    from kgc.schemas import DOCS
+
+    _ensure_kg(spark)
+    docs = spark.read.schema(DOCS).json(os.path.join(ORACLE, "documents_jsonl"))
+    return explode_spans(docs).select("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+
+
+_JSONL_SQL = f"""
+SELECT d.doc_id,
+       CAST(generate_subscripts(d.spans, 1) - 1 AS INT) AS span_idx,
+       unnest(d.spans).kind      AS kind,
+       unnest(d.spans)."text"    AS text,
+       unnest(d.spans).media_ref AS media_ref,
+       CAST(unnest(d.spans)."offset" AS INT) AS offset
+FROM read_json('{os.path.join(ORACLE, "documents_jsonl")}/*.json', format='newline_delimited') d
+"""
+
+
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgc.operators.extract import extract_mentions
     from kgc.operators.spans import explode_spans
@@ -1107,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_spans_flat": q_kg_spans_flat,
         "kg_roundtrip_spans": q_kg_roundtrip_spans,
+    "kg_source_jsonl": q_kg_source_jsonl,
         "kg_mentions": q_kg_mentions,
         "kg_media_mentions": q_kg_media_mentions,
         "kg_triples": q_kg_triples,
@@ -1151,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_spans_flat": _SPANS_SQL,
         "kg_roundtrip_spans": _SPANS_SQL,
+        "kg_source_jsonl": _JSONL_SQL,
         "kg_mentions": _MENTIONS_SQL,
         "kg_media_mentions": _MEDIA_MENTIONS_SQL,
         "kg_triples": _TRIPLES_SQL,

@@ -38,6 +38,10 @@ def materialize(spark, out_dir: str = ORACLE_DIR) -> None:
     docs = synth_documents(spark, ORACLE_SF)
     docs.coalesce(4).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    # JSONL rendering of the first 500 docs (source-format coverage query)
+    docs.filter("doc_id < 'doc-0000000500'").coalesce(1).write.mode("overwrite").json(
+        os.path.join(out_dir, "documents_jsonl")
+    )
 
     catalog = alias_catalog(spark, ORACLE_SF)
     edges = salted_dedup(alias_edges(catalog), ["src", "dst"])
