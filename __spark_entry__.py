@@ -295,7 +295,7 @@ WITH conv AS (
   SELECT DISTINCT subj AS individual, obj AS activity, ts
   FROM {_T} WHERE pred = 'TOUCHED' AND ts IS NOT NULL
 ), q AS (
-  SELECT t.individual, c.campaign, t.activity, t.ts
+  SELECT t.individual, c.campaign, t.activity, t.ts, c.conv_ts
   FROM touches t
   JOIN conv c ON c.individual = t.individual
    AND c.campaign = 'cmp-' || lpad(CAST(CAST(regexp_extract(t.activity, 'act-(\\d+)', 1) AS INT) // 10 AS VARCHAR), 2, '0')
@@ -304,7 +304,8 @@ WITH conv AS (
   SELECT *,
     row_number() OVER (PARTITION BY individual, campaign ORDER BY ts ASC,  activity ASC)  AS rn_first,
     row_number() OVER (PARTITION BY individual, campaign ORDER BY ts DESC, activity DESC) AS rn_last,
-    count(*)    OVER (PARTITION BY individual, campaign) AS n
+    count(*)    OVER (PARTITION BY individual, campaign) AS n,
+    round(1.0 / (1 + floor((epoch(conv_ts) - epoch(ts)) / 86400)), 9) AS decay
   FROM q
 )
 SELECT individual, campaign, activity, 'firstTouch' AS model, 1.0 AS weight,
@@ -314,6 +315,12 @@ SELECT individual, campaign, activity, 'lastTouch', 1.0, CAST(epoch(ts) AS BIGIN
 FROM ranked WHERE rn_last = 1
 UNION ALL
 SELECT individual, campaign, activity, 'linear', round(1.0 / n, 9), CAST(epoch(ts) AS BIGINT)
+FROM ranked
+UNION ALL
+SELECT individual, campaign, activity, 'timeDecay',
+       round(decay / CAST(CAST(sum(CAST(decay AS DECIMAL(20,9)))
+             OVER (PARTITION BY individual, campaign) AS DECIMAL(20,9)) AS DOUBLE), 9),
+       CAST(epoch(ts) AS BIGINT)
 FROM ranked
 """
 

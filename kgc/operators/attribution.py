@@ -73,7 +73,24 @@ def linear_weights(qualifying: DataFrame) -> DataFrame:
     )
 
 
+def time_decay_weights(qualifying: DataFrame) -> DataFrame:
+    """Extension beyond the reference's three models: recency-weighted
+    attribution. weight_i = d_i / Σ d_j with d = 1/(1 + whole_days_before_
+    conversion) — harmonic decay rather than exponential because libm pow()
+    is not bit-reproducible across engines, while one integer-derived
+    division is; the normalizing sum is decimal-exact (order-independent).
+    """
+    days = F.floor((F.unix_timestamp("conv_ts") - F.unix_timestamp("ts")) / 86400)
+    d = F.round(F.lit(1.0) / (F.lit(1) + days), 9)
+    w = Window.partitionBy("individual", "campaign")
+    den = F.sum(d.cast("decimal(20,9)")).over(w).cast("decimal(20,9)").cast("double")
+    return qualifying.select(
+        "individual", "campaign", "activity", F.lit("timeDecay").alias("model"),
+        F.round(d / den, 9).alias("weight"), "ts",
+    )
+
+
 def attribute(triples: DataFrame, part_of: DataFrame) -> DataFrame:
-    """All three models → ATTRIBUTIONS table."""
+    """All four models → ATTRIBUTIONS table."""
     q = qualifying_touches(triples, part_of)
-    return first_last_touch(q).unionByName(linear_weights(q))
+    return first_last_touch(q).unionByName(linear_weights(q)).unionByName(time_decay_weights(q))

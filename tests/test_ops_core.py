@@ -145,7 +145,11 @@ class TestAttribution:
         part_of = spark.createDataFrame(
             [("act-000", "cmp-00"), ("act-001", "cmp-00")], "activity string, campaign string"
         )
-        att = {r["model"]: r["activity"] for r in attribute(t, part_of).collect() if r["model"] != "linear"}
+        att = {
+            r["model"]: r["activity"]
+            for r in attribute(t, part_of).collect()
+            if r["model"] in ("firstTouch", "lastTouch")
+        }
         assert att == {"firstTouch": "act-000", "lastTouch": "act-001"}  # id ASC / id DESC
 
 
@@ -182,3 +186,27 @@ class TestRecommend:
         recs = recommend(t, sim).filter("individual = 'A'").collect()
         assert [(r["product"], r["rank"]) for r in recs] == [("prd-0001", 1)]
         assert recs[0]["score"] == pytest.approx(1.4)  # 0.9 + 0.5, own product anti-joined away
+
+
+class TestTimeDecay:
+    def test_harmonic_decay_weights(self, spark):
+        from kgc.operators.attribution import qualifying_touches, time_decay_weights
+        from kgc.sources.synth import part_of_dim  # noqa: F401
+
+        t = mk_triples(spark, [
+            ("A", "TOUCHED", "act-000", TS(2025, 1, 10), "d", 0),  # 0 days before conv → d=1
+            ("A", "TOUCHED", "act-001", TS(2025, 1, 9), "d", 1),   # 1 day  before       → d=1/2
+            ("A", "TOUCHED", "act-002", TS(2025, 1, 7), "d", 2),   # 3 days before       → d=1/4
+            ("A", "CONVERTED_BY", "cmp-00", TS(2025, 1, 10), "d", 3),
+        ])
+        part_of = spark.createDataFrame(
+            [("act-000", "cmp-00"), ("act-001", "cmp-00"), ("act-002", "cmp-00")],
+            "activity string, campaign string",
+        )
+        q = qualifying_touches(t, part_of)
+        w = {r["activity"]: r["weight"] for r in time_decay_weights(q).collect()}
+        total = 1 + 0.5 + 0.25
+        assert w["act-000"] == pytest.approx(1 / total)
+        assert w["act-001"] == pytest.approx(0.5 / total)
+        assert w["act-002"] == pytest.approx(0.25 / total)
+        assert sum(w.values()) == pytest.approx(1.0)
