@@ -80,7 +80,7 @@ def run_level(cpus: int, sf: float, docs_path: str, out_path: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--docs", default=None, help="pre-written docs parquet (generated if absent)")
     args = ap.parse_args()
 

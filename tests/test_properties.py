@@ -121,3 +121,22 @@ class TestSimilarityProperty:
                     want[(a, b)] = inter / math.sqrt(len(profiles[a]) * len(profiles[b]))
         assert set(got) == set(want)
         assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+
+
+class TestParallelismInvariance:
+    def test_fingerprints_stable_across_shuffle_partitions(self, spark):
+        """§2.4-E end to end: same query, different shuffle partitioning,
+        identical table fingerprint (order-independent)."""
+        from kgc.plans.metrics import table_fingerprint
+        from kgc.sources.synth import ground_truth_triples
+
+        gt = ground_truth_triples(spark, 0.001)
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = table_fingerprint(gt)
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = table_fingerprint(gt)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b
