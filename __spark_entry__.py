@@ -766,6 +766,47 @@ def q_rel_salted_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: events of a user within 30 min of the previous
+    one share a session; session_idx = running count of gap-breaks (lag +
+    cumulative sum over an ordered window) — the classic OLAP pattern; the
+    streaming twin is kgc.streaming.stateful.sessionized_counts."""
+    ev = spark.read.parquet(_t(sf_dir, "events")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_break = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800
+    ).cast("int")
+    sess = ev.withColumn("brk", F.coalesce(gap_break, F.lit(0))).withColumn(
+        "session_idx", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("session_start_epoch"),
+    ).select("user_id", F.col("session_idx").cast("long").alias("session_idx"),
+             "n_events", "session_start_epoch")
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start_epoch
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def q_rel_from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(_t(sf_dir, "events"))
     k = F.from_json("props", "map<string,int>").getItem("k")
@@ -1161,6 +1202,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rel_set_ops": q_rel_set_ops,
         "rel_salted_join": q_rel_salted_join,
         "rel_salted_dedup": q_rel_salted_dedup,
+    "rel_sessionize": q_rel_sessionize,
         "rel_from_json_events": q_rel_from_json_events,
         "rel_asof_last_event": q_rel_asof_last_event,
         "dd_exact_hash": q_dd_exact_hash,
@@ -1206,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_set_ops": _SET_OPS_SQL,
         "rel_salted_join": _SALTED_JOIN_SQL,
         "rel_salted_dedup": _SALTED_DEDUP_SQL,
+        "rel_sessionize": _SESSIONIZE_SQL,
         "rel_from_json_events": _FROM_JSON_SQL,
         "rel_asof_last_event": _ASOF_SQL,
         "dd_exact_hash": _DD_EXACT_SQL,
