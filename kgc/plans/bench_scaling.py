@@ -7,12 +7,13 @@ Methodology:
 - Entity dimensions (alias catalog, canonical map) are corpus-independent
   and prebuilt (untimed).
 - The TIMED job per parallelism level: read docs parquet → explode spans →
-  pandas-UDF mention extraction (localCheckpoint: one pass) → vocabulary
-  link resolution + broadcast rewrite → triple assembly → canonical rewrite
-  + MERGE-dedup → parquet write. Cold SparkSession per level, same input.
+  pandas-UDF mention extraction → vocabulary link resolution + broadcast
+  rewrite (the fused wide path; the vocabulary subtree re-derives its input,
+  which scales identically at both levels) → canonical rewrite + MERGE-dedup
+  → parquet write. Cold SparkSession per level, same input.
 - efficiency = (throughput@4N / throughput@N) / 4.
 
-Run: python kgc/plans/bench_scaling.py [--sf 1.0] [--n 8] (4N = 4*n)
+Run: python kgc/plans/bench_scaling.py [--sf 1.0] [--n 1] (4N = 4*n)
 Writes BENCH/BASELINE.md-compatible JSON to stdout.
 """
 

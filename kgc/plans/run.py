@@ -8,7 +8,7 @@ lineage metrics (op-05); a re-run skips stages whose manifests still match
 
 Usage:
     spark-submit --py-files kgc.zip kgc/plans/run.py \
-        --sf 0.01 --workdir /tmp/kgc_run --stage all [--force] [--exact-sim]
+        --sf 0.01 --workdir /tmp/kgc_run [--force] [--stage NAME] [--until triples] [--lsh-sim]
 """
 
 from __future__ import annotations
