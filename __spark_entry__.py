@@ -355,7 +355,13 @@ def q_kg_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgc.operators.similarity import similar_to_exact
 
     triples = _triples(spark)
-    similar = similar_to_exact(triples)
+    # round BEFORE the top-k window: the oracle's knn CTE ranks on
+    # round(similarity, 9), so Spark must rank on the identical key —
+    # two raw similarities differing only past 1e-9 at the k boundary
+    # would otherwise pick different neighbor sets cross-engine
+    similar = similar_to_exact(triples).select(
+        "ind_a", "ind_b", F.round("similarity", 9).alias("similarity")
+    )
     purchases = purchases_of(triples)
     neighbors = topk_neighbors(similar, 10)
     cands = neighbors.join(
@@ -477,24 +483,41 @@ FROM s WHERE media_ref IS NOT NULL AND regexp_matches(media_ref, '_act-\\d{{3}}\
 
 def q_kg_events_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GraphGist capability applied to the driver's event stream:
-    users' binary event-type profiles → Otsuka–Ochiai over the co-event
-    inverted index (same op-16/22/24 shape, external data)."""
+    users with identical binary event-type profiles (Otsuka–Ochiai = 1.0).
+
+    Scale shape (round-2 rewrite): the old plan self-joined on event_type —
+    a 5-distinct-value key, i.e. ~N²/5 candidate pairs at N users. Since
+    round(inter/sqrt(da·db), 9) ≥ 0.999999999 ⟺ the two profile SETS are
+    EQUAL whenever degrees are < ~3·10⁸ (inter ≤ min ≤ √(da·db), with the
+    nearest non-equal ratio √(d/(d+1))), the query is a self-join on the
+    FULL-PROFILE fingerprint: groupBy user → sorted profile array → join on
+    the profile itself. Pair generation is now exactly output-sized — no
+    near-cartesian stage (plan pinned in tests/test_plans.py). Degrees here
+    are ≤ |event_type| = 5; the precondition is asserted in the pipeline
+    tests. Similarity is still computed by the pinned formula (deg/√(deg·deg)
+    — exactly 1.0 in IEEE for integer deg) so both engines emit the same
+    bits as the oracle's quadratic formulation."""
     ev = spark.read.parquet(_t(sf_dir, "events"))
-    items = ev.select("user_id", "event_type").distinct()
-    deg = items.groupBy("user_id").agg(F.count("*").alias("deg"))
-    it = items.join(deg, "user_id")
-    a = it.select(F.col("user_id").alias("user_a"), "event_type", F.col("deg").alias("deg_a"))
-    b = it.select(F.col("user_id").alias("user_b"), "event_type", F.col("deg").alias("deg_b"))
-    pairs = (
-        a.join(b, "event_type")
-        .filter(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(F.count("*").alias("inter"), F.max("deg_a").alias("da"), F.max("deg_b").alias("db"))
+    profiles = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("profile"))
     )
+    p = profiles.select(
+        "user_id",
+        F.md5(F.concat_ws("\x1f", "profile")).alias("pk"),
+        F.size("profile").alias("deg"),
+    )
+    a = p.select(F.col("user_id").alias("user_a"), "pk", F.col("deg").alias("da"))
+    b = p.select(F.col("user_id").alias("user_b"), "pk")
+    pairs = a.join(b, "pk").filter(F.col("user_a") < F.col("user_b"))
     return pairs.select(
         "user_a", "user_b",
-        F.round(F.col("inter") / F.sqrt(F.col("da").cast("double") * F.col("db")), 9).alias("similarity"),
-    ).filter(F.col("similarity") >= 0.999999999)  # demo: fully-overlapping profiles
+        F.round(
+            F.col("da") / F.sqrt(F.col("da").cast("double") * F.col("da")), 9
+        ).alias("similarity"),
+    )
 
 
 _EVENTS_SIMILAR_SQL = """
@@ -808,6 +831,10 @@ FROM s GROUP BY user_id, session_idx
 
 
 def q_rel_from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-42: JSON props parsing + aggregation. Both engines pin the
+    aggregate dtype to int64: DuckDB sum(BIGINT) natively returns HUGEINT
+    (decimal128 through Arrow — the round-1 hash mismatch), Spark sum(int)
+    returns long; the explicit BIGINT casts make the wire types identical."""
     ev = spark.read.parquet(_t(sf_dir, "events"))
     k = F.from_json("props", "map<string,int>").getItem("k")
     return (
@@ -815,16 +842,16 @@ def q_rel_from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
         )
     )
 
 
 _FROM_JSON_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
 
@@ -1162,7 +1189,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SQL = """
 SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS window_start_epoch,
        event_type, count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
 

@@ -84,7 +84,9 @@ def main() -> None:
     try:
         docs_path = os.path.join(fused_dir, "docs")
         _syn(spark, sf).write.mode("overwrite").parquet(docs_path)  # untimed setup
-        canon = spark.createDataFrame(_ecm(_sd(_ae(_ac(spark, sf)), ["src", "dst"])).toPandas())
+        # lineage cut WITHOUT a driver round-trip: localCheckpoint keeps the
+        # (entity-vocabulary-sized) canon map on the executors
+        canon = _ecm(_sd(_ae(_ac(spark, sf)), ["src", "dst"])).localCheckpoint(eager=True)
         docs_df = spark.read.parquet(docs_path)
         from kgc.operators.extract import extract_mentions as _em
         from kgc.operators.link import link_triples_wide as _lw

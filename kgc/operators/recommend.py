@@ -56,7 +56,13 @@ def recommend(triples: DataFrame, similar_to: DataFrame, k: int = K_NEIGHBORS, m
     )
     # op-19: drop products the individual already owns (left anti = NOT EXISTS)
     cands = cands.join(purchases, ["individual", "product"], "left_anti")
-    scored = cands.groupBy("individual", "product").agg(F.sum("similarity").alias("score"))
+    # §2.4-D/E byte-stable scores: sum-of-doubles is partition-order-dependent
+    # at ~1e-16, so sum the 9-dp-rounded similarity as exact decimal (the same
+    # pattern the contract query uses), then surface a double again
+    scored = cands.groupBy("individual", "product").agg(
+        F.sum(F.round("similarity", 9).cast("decimal(20,9)"))
+        .cast("decimal(20,9)").cast("double").alias("score")
+    )
     w = Window.partitionBy("individual").orderBy(F.col("score").desc(), F.col("product").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

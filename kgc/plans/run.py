@@ -85,6 +85,13 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Run stages up to and including `until`; returns the tables built."""
     os.makedirs(workdir, exist_ok=True)
+    if docs is not None and input_fp is None:
+        # a caller-supplied docs table must carry its own fingerprint:
+        # defaulting to the synthetic fp would let a reused workdir resume a
+        # stale synthetic-ingest checkpoint and silently ignore `docs`
+        from kgc.plans.metrics import table_fingerprint
+
+        input_fp = f"docs-{table_fingerprint(docs)}"
     fp = input_fp or f"synth-sf{sf}-seed42"
     catalog_df = alias_catalog(spark, sf)
     part_of = part_of_dim(spark)

@@ -47,7 +47,10 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("value").alias("sum_value_d"),
+            # decimal-exact: sum(double) is partition-order-dependent and a
+            # result near a .005 boundary could round differently across
+            # engines/partitionings — same pattern as the contract queries
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value_d"),
         )
     )
     for q in spark.streams.active:
@@ -67,7 +70,7 @@ def windowed_event_counts(
         F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
         "event_type",
         "n",
-        F.round("sum_value_d", 2).alias("sum_value"),
+        F.round(F.col("sum_value_d").cast("double"), 2).alias("sum_value"),
     )
 
 

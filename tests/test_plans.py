@@ -70,6 +70,21 @@ class TestJoinQuality:
         assert "BroadcastHashJoin" in plan_of(q, "simple")
 
 
+class TestBlockingKeys:
+    def test_events_similar_users_blocks_on_profile_not_event_type(self, spark):
+        """Round-2 scale fix: the identical-profile self-join must key on the
+        full-profile fingerprint (output-sized pair generation), never on the
+        5-distinct-value event_type column (a near-cartesian ~N²/5 stage)."""
+        import __spark_entry__ as E
+
+        df = E.q_kg_events_similar_users(spark, "/root/testdata/sf0.01")
+        plan = plan_of(df, "simple")
+        join_lines = [ln for ln in plan.splitlines()
+                      if "Join" in ln and "event_type" in ln]
+        assert not join_lines, join_lines
+        assert "pk" in plan  # the md5 profile key IS the join key
+
+
 class TestAggQuality:
     def test_profile_agg_is_partial_final(self, spark):
         from kgc.operators.similarity import profile_degree, touch_items
