@@ -439,30 +439,142 @@ SELECT * FROM sim ORDER BY similarity DESC, ind_a ASC, ind_b ASC LIMIT 50
 
 
 def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: 64-bit banded fingerprints are not
-    SQL-expressible in DuckDB; correctness covered by tests/test_dedup)."""
+    """SimHash near-dup pairs. Round-2: full DuckDB oracle — the 64-bit
+    SimHash is md5-token-derived, so SQL reproduces it bit-for-bit (md5 hex →
+    per-bit ±1 vote → sign), and the 4×16-bit banding recalls EVERY pair with
+    Hamming ≤ 3 (pigeonhole), so the banded Spark output equals the oracle's
+    brute-force all-pairs scan exactly."""
     from kgc.operators.dedup import simhash_pairs
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return simhash_pairs(docs, max_hamming=3)
 
 
+# DuckDB rendering of kgc.operators.dedup._simhash64: md5(token)[:8] bytes,
+# MSB-first bit order within each byte (numpy unpackbits), ±1 votes, sign.
+# The HUGEINT accumulation + 2^64 subtraction reproduces the signed-long
+# conversion. Brute-force pair scan (no banding needed: banding is exact
+# for Hamming ≤ 3 by pigeonhole, so the sets coincide).
+_DD_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (
+           (strpos('0123456789abcdef', substr(h, (i//8)*2+1, 1))-1)*16
+           + strpos('0123456789abcdef', substr(h, (i//8)*2+2, 1))-1
+         ) & (1 << (7 - (i % 8))) != 0 THEN 1 ELSE -1 END) AS acc
+  FROM th, generate_series(0, 63) AS t(i)
+  GROUP BY doc_id, i
+), sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN v >= CAST(1 AS HUGEINT) << 63
+              THEN v - (CAST(1 AS HUGEINT) << 64) ELSE v END AS BIGINT) AS sh
+  FROM (SELECT doc_id,
+               sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << i
+                   ELSE CAST(0 AS HUGEINT) END) AS v
+        FROM bits GROUP BY doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+def _srp_planes_values(dim: int = 64, n_planes: int = 16, seed: int = 42) -> str:
+    """The SRP hyperplanes as a DuckDB VALUES table — full-precision reprs
+    round-trip to the identical float64s the pandas UDF multiplies by, so
+    both engines compute the same bucket signatures (a sign flip would need
+    |dot| within summation error of 0 — probability ~1e-15 per plane)."""
+    from kgc.operators.dedup import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    rows = ",\n  ".join(
+        f"({p}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    return f"(VALUES\n  {rows}) planes(p, w)"
+
+
+def _srp_sig_cte(n_planes: int = 16) -> str:
+    """Shared CTE prefix: embeddings as DOUBLE[], SRP signature per vec."""
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, planes.w) > 0 THEN (1 << planes.p) ELSE 0 END) AS sig
+  FROM e, {_srp_planes_values(n_planes=n_planes)}
+  GROUP BY e.vec_id
+)"""
+
+
 def q_dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via SRP-LSH buckets + exact cosine verify
-    (rows-only: probabilistic candidates; values verified in tests)."""
+    """Embedding near-dup pairs via SRP-LSH buckets + exact cosine verify.
+    Round-2: full oracle — the seeded hyperplanes are inlined into the SQL as
+    literals, so DuckDB reproduces the exact bucket assignment AND the exact
+    cosine re-score; candidate recall (probabilistic) cancels out because
+    both engines block identically. Gate threshold 0.4: the tiny fixture has
+    no planted near-dups (max pairwise cosine ≈ 0.51), so 0.8 would make the
+    check vacuous; the operator default stays 0.8."""
     from kgc.operators.dedup import embedding_near_dup
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    return embedding_near_dup(emb, threshold=0.8)
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH {_srp_sig_cte(16)},
+banded AS (
+  SELECT s.vec_id, t.b AS band_idx, (s.sig >> (t.b * 8)) & 255 AS band_val
+  FROM sig s, generate_series(0, 1) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) AS cosine
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+WHERE cosine >= 0.4
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k neighbors (SRP-banded) — the scale path;
-    brute-force q_ann_cosine_topk is the oracle (recall tested)."""
+    """Approximate top-k neighbors (SRP-banded) — the scale path next to the
+    brute-force q_ann_cosine_topk baseline. Round-2: full oracle via inlined
+    hyperplane literals (see q_dd_embedding_near_dup) — DuckDB rebuilds the
+    identical 4×4-bit-band candidate set, exact cosines, and rounded-key
+    ranking, so the approximate result is checked value-for-value."""
     from kgc.operators.dedup import ann_topk_lsh
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return ann_topk_lsh(emb, k=5).filter(F.col("q_id") < 20)
+
+
+_ANN_LSH_SQL = f"""
+WITH {_srp_sig_cte(16)},
+banded AS (
+  SELECT s.vec_id, t.b AS band_idx, (s.sig >> (t.b * 4)) & 15 AS band_val
+  FROM sig s, generate_series(0, 3) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS vec_id
+  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.vec_id != b.vec_id
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM cand c JOIN e ea ON ea.vec_id = c.q_id JOIN e eb ON eb.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= 5 AND q_id < 20
+"""
 
 
 def q_kg_media_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,7 +1393,10 @@ def oracle_sql() -> dict[str, str]:
         "dd_exact_hash": _DD_EXACT_SQL,
         "dd_minhash_buckets": _DD_MINHASH_SQL,
         "dd_jaccard_pairs": _DD_JACCARD_SQL,
+        "dd_simhash_pairs": _DD_SIMHASH_SQL,
+        "dd_embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
         "ts_text_stats": _TEXT_STATS_SQL,
         "ts_lang_id": _LANG_ID_SQL,
         "ts_fingerprint": _FINGERPRINT_SQL,
