@@ -169,13 +169,18 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return extract_mentions(explode_spans(_docs(spark))).select(
         "doc_id", "span_idx", "mention_type", "ind_surface", "act_surface",
-        "cmp_surface", "prd_surface", "ts_str",
+        "cmp_surface", "prd_surface", "ts_str", "char_start", "char_end",
     )
 
 
 _IND_RE = r"(I-\d{4}|ind_\d{4}|Individual #\d+)"
 _TS_RE = r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)"
 
+# char offsets: mt = the full match text (group 0); with the ≤1-match-per-
+# span-per-pattern precondition (asserted in tests — the patterns have no
+# anchors, so any earlier occurrence of mt would itself be a match),
+# strpos(text, mt) locates exactly the match. ASCII corpus → char == byte
+# offsets, matching Python m.start()/m.end().
 _MENTIONS_SQL = f"""
 WITH s AS ({_SPANS_SQL})
 SELECT doc_id, span_idx, 'touch' AS mention_type,
@@ -183,29 +188,41 @@ SELECT doc_id, span_idx, 'touch' AS mention_type,
        regexp_extract(text, 'opened email (act-\\d{{3}})', 1) AS act_surface,
        regexp_extract(text, 'of campaign (cmp-\\d{{2}})', 1) AS cmp_surface,
        CAST(NULL AS VARCHAR) AS prd_surface,
-       regexp_extract(text, ' at {_TS_RE}', 1) AS ts_str
-FROM s WHERE regexp_matches(text, '{_IND_RE} opened email act-\\d{{3}} of campaign cmp-\\d{{2}} at {_TS_RE}')
+       regexp_extract(text, ' at {_TS_RE}', 1) AS ts_str,
+       CAST(strpos(text, mt) - 1 AS INT) AS char_start,
+       CAST(strpos(text, mt) - 1 + length(mt) AS INT) AS char_end
+FROM (SELECT *, regexp_extract(text, '{_IND_RE} opened email act-\\d{{3}} of campaign cmp-\\d{{2}} at {_TS_RE}', 0) AS mt
+      FROM s WHERE regexp_matches(text, '{_IND_RE} opened email act-\\d{{3}} of campaign cmp-\\d{{2}} at {_TS_RE}'))
 UNION ALL
 SELECT doc_id, span_idx, 'conversion',
        regexp_extract(text, 'converted {_IND_RE} at', 1),
        NULL,
        regexp_extract(text, 'campaign (cmp-\\d{{2}}) converted', 1),
        NULL,
-       regexp_extract(text, ' at {_TS_RE}', 1)
-FROM s WHERE regexp_matches(text, 'campaign cmp-\\d{{2}} converted {_IND_RE} at {_TS_RE}')
+       regexp_extract(text, ' at {_TS_RE}', 1),
+       CAST(strpos(text, mt) - 1 AS INT),
+       CAST(strpos(text, mt) - 1 + length(mt) AS INT)
+FROM (SELECT *, regexp_extract(text, 'campaign cmp-\\d{{2}} converted {_IND_RE} at {_TS_RE}', 0) AS mt
+      FROM s WHERE regexp_matches(text, 'campaign cmp-\\d{{2}} converted {_IND_RE} at {_TS_RE}'))
 UNION ALL
 SELECT doc_id, span_idx, 'purchase',
        regexp_extract(text, '{_IND_RE} purchased', 1),
        NULL, NULL,
        regexp_extract(text, 'purchased (prd-\\d{{4}})', 1),
-       regexp_extract(text, ' at {_TS_RE}', 1)
-FROM s WHERE regexp_matches(text, '{_IND_RE} purchased prd-\\d{{4}} at {_TS_RE}')
+       regexp_extract(text, ' at {_TS_RE}', 1),
+       CAST(strpos(text, mt) - 1 AS INT),
+       CAST(strpos(text, mt) - 1 + length(mt) AS INT)
+FROM (SELECT *, regexp_extract(text, '{_IND_RE} purchased prd-\\d{{4}} at {_TS_RE}', 0) AS mt
+      FROM s WHERE regexp_matches(text, '{_IND_RE} purchased prd-\\d{{4}} at {_TS_RE}'))
 UNION ALL
 SELECT doc_id, span_idx, 'media_touch',
        regexp_extract(text, 'photo of {_IND_RE} at webinar', 1),
        regexp_extract(text, 'at webinar (act-\\d{{3}})', 1),
-       NULL, NULL, NULL
-FROM s WHERE regexp_matches(text, 'photo of {_IND_RE} at webinar act-\\d{{3}}')
+       NULL, NULL, NULL,
+       CAST(strpos(text, mt) - 1 AS INT),
+       CAST(strpos(text, mt) - 1 + length(mt) AS INT)
+FROM (SELECT *, regexp_extract(text, 'photo of {_IND_RE} at webinar act-\\d{{3}}', 0) AS mt
+      FROM s WHERE regexp_matches(text, 'photo of {_IND_RE} at webinar act-\\d{{3}}'))
 """
 
 

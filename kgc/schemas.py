@@ -55,6 +55,9 @@ MENTION = T.StructType(
         T.StructField("prd_surface", T.StringType(), True),
         T.StructField("ts_str", T.StringType(), True),
         T.StructField("match_idx", T.IntegerType(), False),  # nth match in span
+        # KG provenance: character span of the match within the span text
+        T.StructField("char_start", T.IntegerType(), False),
+        T.StructField("char_end", T.IntegerType(), False),
     ]
 )
 

@@ -48,6 +48,27 @@ def test_every_oracle_key_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_one_mention_per_span_precondition(ddb):
+    """_MENTIONS_SQL uses regexp_extract (first match only) and locates char
+    offsets via strpos of the full match — both rely on the generator
+    emitting AT MOST ONE mention per span per pattern. Assert it on the
+    committed oracle corpus so a generator change that breaks the
+    precondition fails loudly instead of silently under-counting."""
+    full_patterns = [
+        f"{entrymod._IND_RE} opened email act-\\d{{3}} of campaign cmp-\\d{{2}} at {entrymod._TS_RE}",
+        f"campaign cmp-\\d{{2}} converted {entrymod._IND_RE} at {entrymod._TS_RE}",
+        f"{entrymod._IND_RE} purchased prd-\\d{{4}} at {entrymod._TS_RE}",
+        f"photo of {entrymod._IND_RE} at webinar act-\\d{{3}}",
+    ]
+    for pat in full_patterns:
+        n = ddb.sql(
+            f"SELECT max(len(regexp_extract_all(t.text, '{pat}'))) FROM ("
+            f"SELECT unnest(spans).text AS text FROM read_parquet("
+            f"'{entrymod.DOCS_PQ}/*.parquet')) t WHERE t.text IS NOT NULL"
+        ).fetchone()[0]
+        assert n is not None and n <= 1, (pat, n)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

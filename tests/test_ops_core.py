@@ -56,6 +56,10 @@ class TestExtract:
         assert rows[("d1", "conversion")]["ind_surface"] == "ind_0001"
         assert rows[("d2", "media_touch")]["ind_surface"] == "Individual #2"
         assert rows[("d2", "media_touch")]["ts_str"] is None
+        # provenance offsets: text[char_start:char_end] is exactly the match
+        t = rows[("d1", "touch")]
+        assert t["char_start"] == 0 and t["char_end"] == 70
+        assert 0 <= t["char_start"] < t["char_end"]
 
     def test_scalar_udf_matches(self, spark):
         df = spark.createDataFrame(
