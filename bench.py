@@ -67,8 +67,22 @@ def main() -> None:
         part_of = part_of_dim(spark)
         timed("attribution", lambda: attribute(triples, part_of).count())
         timed("similarity_exact", lambda: similar_to_exact(triples).count())
+        # r2 variants: 8-byte-code pair shuffle / packed-bitmask re-score
+        timed("similarity_exact_dictenc", lambda: similar_to_exact(triples, dict_encode=True).count())
         stop = hot_activities(touch_items(triples))
         timed("similarity_lsh", lambda: candidate_pairs_lsh(triples, stoplist=stop).count())
+
+        def _lsh_bitmask():
+            from pyspark.sql import functions as _F
+
+            from kgc.operators.similarity import build_profiles_bitmask, rescore_pairs_bitmask
+
+            items = touch_items(triples)
+            n_bits = items.agg(_F.max("act")).collect()[0][0] + 1
+            cand = candidate_pairs_lsh(triples, stoplist=stop).select("ind_a", "ind_b")
+            return rescore_pairs_bitmask(cand, build_profiles_bitmask(items, n_bits)).count()
+
+        timed("similarity_lsh_bitmask_rescore", _lsh_bitmask)
         similar = tables["similar_to"]
         timed("recommend", lambda: recommend(triples, similar).count())
         triples.unpersist()

@@ -6,9 +6,10 @@ min-label propagation to a fixpoint. Each iteration is one shuffle
 (edges ⋈ labels + groupBy-min); ``localCheckpoint(eager=True)`` truncates the
 lineage so the plan stays O(1) per iteration instead of growing without bound
 (SURVEY.md §4.4). Alias graphs are near-star-shaped → few iterations; the
-documented scale path for adversarial graphs (long chains) is the
-large-star/small-star variant, which this loop structure accommodates by
-swapping the message step.
+scale path for adversarial graphs (long chains, 10^9+ edges) is
+``connected_components_star`` below — alternating large-star/small-star
+contraction, which also SHRINKS the edge set every round (min-label keeps
+shuffling the full edge list).
 
 op-29 is the salted two-phase dedup the north star names: phase 1 collapses
 duplicates within (key, salt) groups — a hot key's duplicates spread over
@@ -31,7 +32,7 @@ def salted_dedup(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame:
     return phase1.drop("_salt").dropDuplicates(keys)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25, stats: dict | None = None) -> DataFrame:
     """op-28: undirected components over edges(src, dst) → (node, component)
     with component = lexicographic min node id in the component (§2.4-F).
 
@@ -79,8 +80,82 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["iterations"] = _ + 1
             break
     return labels
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 50, stats: dict | None = None) -> DataFrame:
+    """op-28 scale variant: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Same (node, component-min) output as ``connected_components``; converges
+    in O(log n) rounds even on adversarial long-chain graphs where min-label
+    propagation alone needs O(diameter) (pointer doubling cuts that to
+    O(log d) but star contraction halves the EDGE set too, shrinking every
+    subsequent shuffle — the property that matters at 10^9 edges). Each
+    round is two groupBy-min + join shuffles over a monotonically shrinking
+    edge list; fixpoint detected by an order-independent edge fingerprint.
+
+    - large-star: every neighbor v > u repoints to m = min(Γ(u) ∪ {u})
+    - small-star: every neighbor v ≤ u (plus u) repoints to the min
+    """
+    e = (
+        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame):
+        r = df.agg(
+            F.expr("bit_xor(xxhash64(u, v))").alias("fp"), F.count("*").alias("n")
+        ).collect()[0]
+        return (r["fp"], r["n"])
+
+    fp = fingerprint(e)
+    for i in range(max_iter):
+        # --- large-star: (v, m) for v in Γ(u), v > u, m = min(Γ⁺(u)) -------
+        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            bidir.groupBy("u").agg(F.min("v").alias("_mb"))
+            .select("u", F.least("_mb", F.col("u")).alias("m"))
+        )
+        ls = (
+            bidir.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # v > u ≥ m
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star on (u, v) with u > v: all small neighbors + u → min
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(smins, "u")
+        ss = (
+            joined.select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(ss)
+        e = ss
+        if stats is not None:
+            stats.setdefault("edge_counts", []).append(new_fp[1])
+        if new_fp == fp:
+            if stats is not None:
+                stats["iterations"] = i + 1
+            break
+        fp = new_fp
+    # fixpoint edges are stars (u, component-min); add identity rows for roots
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
 
 
 def entities_canon_map(edges: DataFrame) -> DataFrame:

@@ -165,8 +165,47 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
-def similar_to_exact(triples: DataFrame) -> DataFrame:
-    return score_pairs(candidate_pairs_exact(touch_items(triples)))
+def similar_to_exact(triples: DataFrame, dict_encode: bool = False) -> DataFrame:
+    """SIMILAR_TO edges. With ``dict_encode`` the Σdeg² pair shuffle carries
+    8-byte codes instead of id strings (see encode_individuals); output is
+    the identical row set either way (tests pin equality)."""
+    items = touch_items(triples)
+    if not dict_encode:
+        return score_pairs(candidate_pairs_exact(items))
+    enc, dic = encode_individuals(items)
+    pairs = candidate_pairs_exact(enc)
+    da = dic.select(F.col("code").alias("ind_a"), F.col("individual").alias("_sa"))
+    db = dic.select(F.col("code").alias("ind_b"), F.col("individual").alias("_sb"))
+    decoded = pairs.join(da, "ind_a").join(db, "ind_b")
+    # code order != string order: re-canonicalize so ind_a < ind_b as strings
+    swap = F.col("_sa") > F.col("_sb")
+    reoriented = decoded.select(
+        F.when(swap, F.col("_sb")).otherwise(F.col("_sa")).alias("ind_a"),
+        F.when(swap, F.col("_sa")).otherwise(F.col("_sb")).alias("ind_b"),
+        "inter",
+        F.when(swap, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_a"),
+        F.when(swap, F.col("deg_a")).otherwise(F.col("deg_b")).alias("deg_b"),
+    )
+    return score_pairs(reoriented)
+
+
+def encode_individuals(items: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode individual ids to dense 8-byte codes for the pair
+    shuffle (VERDICT r1 #5): the Σdeg² join+agg rows then carry two longs
+    instead of two strings — narrower shuffle, cheaper hash-agg compares.
+
+    Codes are xxhash64(id) with a collision AUDIT (one vocabulary-sized agg;
+    count == countDistinct(code) or we refuse): deterministic, no global
+    sort and no zipWithIndex lineage, exact by construction once audited.
+    Decode is a dictionary join, never a re-hash."""
+    vocab = items.select("individual").distinct()
+    audit = vocab.agg(
+        F.count("*").alias("n"), F.countDistinct(F.xxhash64("individual")).alias("d")
+    ).collect()[0]
+    if audit["n"] != audit["d"]:  # ~2^-65 per pair; refuse rather than corrupt
+        raise ValueError("xxhash64 collision in individual vocabulary — use dict_encode=False")
+    dic = vocab.select(F.xxhash64("individual").alias("code"), "individual")
+    return items.withColumn("individual", F.xxhash64("individual")), dic
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +269,58 @@ def candidate_pairs_lsh(
         cand.join(pa, "ind_a")
         .join(pb, "ind_b")
         .withColumn("inter", F.size(F.array_intersect("acts_a", "acts_b")))
+        .filter(F.col("inter") >= 1)
+    )
+    return score_pairs(scored.select("ind_a", "ind_b", "inter", "deg_a", "deg_b"))
+
+
+# ---------------------------------------------------------------------------
+# Packed-bitmask profiles (op-39 variant)
+# ---------------------------------------------------------------------------
+
+
+def build_profiles_bitmask(items: DataFrame, n_bits: int) -> DataFrame:
+    """op-39 packed variant: profile as array<long> bitmask over the activity
+    universe (act ordinals < n_bits). |A∩B| becomes Σ bit_count(word_a &
+    word_b) — ⌈n_bits/64⌉ AND+popcount words per pair instead of an O(deg)
+    element-wise array_intersect, a win for dense profiles. All builtin
+    higher-order functions (JVM-side, codegen)."""
+    n_words = (n_bits + 63) // 64
+    mask = F.expr(
+        f"transform(sequence(0, {n_words - 1}),"
+        " w -> aggregate(filter(acts, a -> a div 64 = w), 0L,"
+        "                (acc, a) -> acc | shiftleft(1L, a % 64)))"
+    )
+    return (
+        items.groupBy("individual")
+        .agg(F.array_sort(F.collect_set("act")).alias("acts"))
+        .select(
+            "individual",
+            mask.alias("mask"),
+            F.size("acts").cast("int").alias("deg"),
+        )
+    )
+
+
+_BITMASK_INTER = (
+    "aggregate(zip_with(mask_a, mask_b, (x, y) -> bit_count(x & y)), 0, (acc, c) -> acc + c)"
+)
+
+
+def rescore_pairs_bitmask(cand: DataFrame, mask_profiles: DataFrame) -> DataFrame:
+    """Exact Otsuka–Ochiai re-score of candidate (ind_a, ind_b) pairs using
+    packed bitmask profiles — same contract as the array_intersect stage in
+    candidate_pairs_lsh (emitted similarities exact; inter=0 pairs dropped)."""
+    pa = mask_profiles.select(
+        F.col("individual").alias("ind_a"), F.col("mask").alias("mask_a"), F.col("deg").alias("deg_a")
+    )
+    pb = mask_profiles.select(
+        F.col("individual").alias("ind_b"), F.col("mask").alias("mask_b"), F.col("deg").alias("deg_b")
+    )
+    scored = (
+        cand.join(pa, "ind_a")
+        .join(pb, "ind_b")
+        .withColumn("inter", F.expr(_BITMASK_INTER))
         .filter(F.col("inter") >= 1)
     )
     return score_pairs(scored.select("ind_a", "ind_b", "inter", "deg_a", "deg_b"))

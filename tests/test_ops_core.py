@@ -100,6 +100,65 @@ class TestCC:
         assert c1 == c2
         assert all(comp == "n1" for _, comp in c1)
 
+    def test_star_variant_matches_minlabel_on_small_graphs(self, spark):
+        from kgc.operators.canon import connected_components_star
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("q", "a")], "src string, dst string"
+        )
+        ml = sorted(map(tuple, connected_components(edges).collect()))
+        st = sorted(map(tuple, connected_components_star(edges).collect()))
+        assert ml == st
+
+    def test_star_variant_adversarial_chain(self, spark):
+        """4096-node chain — the worst case for label propagation. Star
+        contraction must produce identical labels within O(log n) rounds
+        (measured: 13 = log2(4096)+1, same round count as the pointer-
+        doubled min-label loop; its scale advantage is that the edge set
+        SHRINKS every round, which rounds don't capture — see the
+        star-edges-shrink test below)."""
+        from kgc.operators.canon import connected_components_star
+
+        n = 4096
+        edges = spark.createDataFrame(
+            [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)],
+            "src string, dst string",
+        ).repartition(8)
+        star_stats: dict = {}
+        st = connected_components_star(edges, stats=star_stats)
+        rows = st.collect()
+        assert len(rows) == n
+        assert all(r["component"] == "n00000" for r in rows)
+        ml_stats: dict = {}
+        ml = connected_components(edges, stats=ml_stats)
+        assert sorted(map(tuple, ml.collect())) == sorted(map(tuple, rows))
+        import math
+
+        assert star_stats["iterations"] <= math.ceil(math.log2(n)) + 2, star_stats
+        assert ml_stats["iterations"] <= math.ceil(math.log2(n)) + 2, ml_stats
+
+    def test_star_variant_shrinks_dense_edge_set(self, spark):
+        """The star variant's scale property: on a dense component (m ≫ n
+        edges) the working edge set contracts to the n-1 star edges, so each
+        round's shuffle shrinks — min-label re-shuffles all m edges every
+        round. Deterministic dense graph: 500 nodes, ~4000 modular edges."""
+        from kgc.operators.canon import connected_components_star
+
+        n = 500
+        pairs = [
+            (f"v{i:04d}", f"v{(i * k + 7) % n:04d}")
+            for i in range(n)
+            for k in (3, 11, 17, 29, 41, 53, 71, 89)
+        ]
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+        stats: dict = {}
+        st = connected_components_star(edges, stats=stats)
+        counts = stats["edge_counts"]
+        assert counts[-1] < len(set(map(frozenset, pairs))) / 4
+        # single component (k=3 with n=500: gcd walk reaches everything)
+        comps = {r["component"] for r in st.collect()}
+        assert len(comps) == 1
+
     def test_salted_dedup(self, spark):
         df = spark.createDataFrame([("k1", 1), ("k1", 1), ("k1", 2), ("k2", 9)], "k string, v int")
         assert salted_dedup(df, ["k", "v"], n_salt=4).count() == 3
@@ -158,6 +217,54 @@ class TestAttribution:
 
 
 class TestSimilarity:
+    def test_bitmask_rescore_matches_array_intersect(self, spark):
+        """op-39 packed variant: bit_count(a & b) intersection over
+        array<long> masks must reproduce the exact path's similarities
+        pair-for-pair on the committed corpus."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from kgc.operators.similarity import (
+            build_profiles_bitmask,
+            candidate_pairs_exact,
+            rescore_pairs_bitmask,
+            score_pairs,
+            touch_items,
+        )
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        t = spark.read.parquet(os.path.join(repo, "data", "oracle", "sf0.01", "triples.parquet"))
+        items = touch_items(t)
+        exact = score_pairs(candidate_pairs_exact(items))
+        n_bits = items.agg(F.max("act")).collect()[0][0] + 1
+        masks = build_profiles_bitmask(items, n_bits)
+        got = rescore_pairs_bitmask(exact.select("ind_a", "ind_b"), masks)
+        a = sorted((r["ind_a"], r["ind_b"], round(r["similarity"], 9)) for r in exact.collect())
+        b = sorted((r["ind_a"], r["ind_b"], round(r["similarity"], 9)) for r in got.collect())
+        assert a == b and len(a) > 0
+
+    def test_dict_encoded_similarity_matches_plain(self, spark):
+        """Dictionary-encoded pair shuffle (8-byte codes) must emit the
+        identical SIMILAR_TO row set, including (ind_a, ind_b) string-order
+        canonicalization, as the plain path."""
+        import os
+
+        from kgc.operators.similarity import similar_to_exact
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        t = spark.read.parquet(os.path.join(repo, "data", "oracle", "sf0.01", "triples.parquet"))
+        plain = sorted(
+            (r["ind_a"], r["ind_b"], round(r["similarity"], 9))
+            for r in similar_to_exact(t).collect()
+        )
+        enc = sorted(
+            (r["ind_a"], r["ind_b"], round(r["similarity"], 9))
+            for r in similar_to_exact(t, dict_encode=True).collect()
+        )
+        assert plain == enc and len(plain) > 0
+        assert all(a < b for a, b, _ in enc)
+
     def test_otsuka_ochiai_values(self, spark):
         t = mk_triples(spark, [
             ("A", "TOUCHED", "act-000", TS(2025, 1, 1), "d", 0),
