@@ -150,11 +150,14 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50, stats: dict 
                 stats["iterations"] = i + 1
             break
         fp = new_fp
-    # fixpoint edges are stars (u, component-min); add identity rows for roots
+    # fixpoint edges are stars (u, component-min) — each non-root u appears
+    # exactly once; the groupBy-min is a no-op then, and a best-effort
+    # safety net if max_iter truncated before convergence
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
-        .distinct()
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
     )
 
 
