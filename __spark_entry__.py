@@ -427,8 +427,13 @@ SELECT individual, product, score, CAST(rank AS INT) AS rank FROM (
 
 
 def q_kg_similar_to_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded candidate path (rows-only check: probabilistic candidate
-    set; pair P/R ≥0.95 vs exact is asserted in tests/test_golden_pipeline)."""
+    """LSH-banded candidate path. Round-2: FULL DuckDB oracle — XXH64 is
+    pure 64-bit arithmetic, so kgc/functions/xxh64_sql.py renders Spark's
+    xxhash64 as generated HUGEINT SQL (verified bit-exact) and the oracle
+    recomputes the minhash signatures, band hashes, candidate join,
+    stop-list, and exact re-score end-to-end. The candidate set is
+    probabilistic w.r.t. RECALL but fully deterministic given the seeds, so
+    both engines derive the identical pair set."""
     from kgc.operators.similarity import candidate_pairs_lsh, hot_activities, touch_items
 
     t = _triples(spark)
@@ -436,6 +441,69 @@ def q_kg_similar_to_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs_lsh(t, stoplist=stop).select(
         "ind_a", "ind_b", F.round("similarity", 9).alias("similarity")
     )
+
+
+def _build_lsh_oracle_sql(bands: int = 32, rows: int = 2) -> str:
+    """DuckDB rendering of candidate_pairs_lsh (kgc/operators/similarity.py).
+
+    Faithful down to the bit: sig[i] = min over acts of xxhash64(i, act)
+    where the min is over SIGNED longs (Spark array_min semantics — the
+    generated hashes are converted to signed before list_min, then back to
+    [0,2^64) for the band-hash chain); band_hash folds (j, sig[2j], sig[2j+1])
+    exactly as Spark's xxhash64(int, array<long>) does. Blocking profiles
+    exclude the >50%-hot stop-list; scoring uses FULL profiles."""
+    from kgc.functions.xxh64_sql import hash_int_sql, hash_long_sql, to_signed_sql
+
+    n_hashes = bands * rows
+    # per-(i, act) minhash element, compared as signed long like Spark
+    sig_elem = to_signed_sql(
+        hash_int_sql("a::HUGEINT", hash_int_sql("i::HUGEINT", "42::HUGEINT"))
+    )
+
+    def unsigned(s: str) -> str:
+        return f"((({s})::HUGEINT + 18446744073709551616) % 18446744073709551616)"
+
+    band_hash = hash_long_sql(
+        unsigned(f"sig[2*t.j + {rows}]"),
+        hash_long_sql(unsigned(f"sig[2*t.j + 1]"), hash_int_sql("t.j::HUGEINT", "42::HUGEINT")),
+    )
+    return f"""
+WITH items AS (
+  SELECT DISTINCT subj AS individual,
+         CAST(regexp_extract(obj, 'act-(\\d+)', 1) AS INT) AS act
+  FROM {_T} WHERE pred = 'TOUCHED'
+), stats AS (
+  SELECT count(DISTINCT individual) AS n_ind FROM items
+), stop AS (
+  SELECT act FROM items GROUP BY act
+  HAVING count(*) > 0.5 * (SELECT n_ind FROM stats)
+), fullp AS (
+  SELECT individual, list_sort(list(act)) AS acts, count(*) AS deg
+  FROM items GROUP BY individual
+), blockp AS (
+  SELECT individual, list_sort(list(act)) AS acts
+  FROM items WHERE act NOT IN (SELECT act FROM stop)
+  GROUP BY individual
+), sigs AS (
+  SELECT individual,
+         list_transform(range(0, {n_hashes}),
+                        i -> list_min(list_transform(acts, a -> {sig_elem}))) AS sig
+  FROM blockp
+), bands AS (
+  SELECT individual, t.j AS band_idx, {band_hash} AS band_hash
+  FROM sigs, generate_series(0, {bands - 1}) AS t(j)
+), cand AS (
+  SELECT DISTINCT a.individual AS ind_a, b.individual AS ind_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.individual < b.individual
+)
+SELECT c.ind_a, c.ind_b,
+       round(len(list_intersect(pa.acts, pb.acts)) / sqrt(pa.deg * pb.deg), 9) AS similarity
+FROM cand c
+JOIN fullp pa ON pa.individual = c.ind_a
+JOIN fullp pb ON pb.individual = c.ind_b
+WHERE len(list_intersect(pa.acts, pb.acts)) >= 1
+"""
 
 
 def q_kg_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,7 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_touch_profiles": _PROFILES_SQL,
         "kg_attribution": _ATTR_SQL,
         "kg_similar_to": _SIMILAR_SQL,
-        # kg_similar_to_lsh: intentionally no oracle (probabilistic candidate set)
+        "kg_similar_to_lsh": _build_lsh_oracle_sql(),
         "kg_top_pairs": _TOP_PAIRS_SQL,
         "kg_recommend": _RECOMMEND_SQL,
         "kg_events_similar_users": _EVENTS_SIMILAR_SQL,

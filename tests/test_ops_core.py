@@ -216,6 +216,41 @@ class TestAttribution:
         assert att == {"firstTouch": "act-000", "lastTouch": "act-001"}  # id ASC / id DESC
 
 
+class TestXxh64Sql:
+    def test_duckdb_xxh64_matches_spark(self, spark):
+        """kgc/functions/xxh64_sql.py generates DuckDB SQL that must equal
+        Spark's xxhash64 bit-for-bit across the shapes the LSH oracle uses:
+        int chains (minhash) and int+long chains (band hashes)."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from kgc.functions.xxh64_sql import hash_int_sql, hash_long_sql, to_signed_sql
+
+        con = duckdb.connect()
+        cases = [(0, 0), (3, 123), (31, 499), (1, 2**31 - 1), (63, 7)]
+        for i, a in cases:
+            want = spark.range(1).select(F.xxhash64(F.lit(i), F.lit(a))).collect()[0][0]
+            got = con.sql(
+                "SELECT " + to_signed_sql(
+                    hash_int_sql(f"{a}::HUGEINT", hash_int_sql(f"{i}::HUGEINT", "42::HUGEINT"))
+                )
+            ).fetchone()[0]
+            assert got == want, (i, a, got, want)
+        # int + two longs (the band-hash shape), incl. negative longs
+        for j, (l1, l2) in [(0, (5, -9)), (7, (-(2**62), 2**61)), (31, (-1, 0))]:
+            want = spark.range(1).select(
+                F.xxhash64(F.lit(j), F.array(F.lit(l1).cast("long"), F.lit(l2).cast("long")))
+            ).collect()[0][0]
+            u1 = f"(({l1}::HUGEINT + 18446744073709551616) % 18446744073709551616)"
+            u2 = f"(({l2}::HUGEINT + 18446744073709551616) % 18446744073709551616)"
+            got = con.sql(
+                "SELECT " + to_signed_sql(
+                    hash_long_sql(u2, hash_long_sql(u1, hash_int_sql(f"{j}::HUGEINT", "42::HUGEINT")))
+                )
+            ).fetchone()[0]
+            assert got == want, (j, l1, l2, got, want)
+
+
 class TestSimilarity:
     def test_bitmask_rescore_matches_array_intersect(self, spark):
         """op-39 packed variant: bit_count(a & b) intersection over
