@@ -18,6 +18,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """In local[N] mode the driver JVM IS every executor, so the r1 fixed
+    8g default was undersized for big-SF jobs on big boxes (the sf1 LSH
+    self-join OOMed at 8g, ran at 48g). Default to a quarter of physical
+    RAM, clamped to [8g, 32g]; KGC_DRIVER_MEM still overrides."""
+    try:
+        total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") // (1 << 30)
+    except (ValueError, OSError):
+        return "8g"
+    return f"{min(32, max(8, total_gb // 4))}g"
+
+
 def get_spark(
     app_name: str = "kgc",
     cpus: int | None = None,
@@ -46,7 +58,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("KGC_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("KGC_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     )
