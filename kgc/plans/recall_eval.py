@@ -64,7 +64,7 @@ def main() -> None:
         stop = hot_activities(items)  # full-population stop-list, as in prod
 
         t0 = time.time()
-        lsh = candidate_pairs_lsh(gt, stoplist=stop).select("ind_a", "ind_b")
+        lsh = candidate_pairs_lsh(gt, stoplist=stop).select("ind_a", "ind_b", "similarity")
         lsh_path = os.path.join(workdir, "lsh")
         lsh.write.parquet(lsh_path)
         lsh = spark.read.parquet(lsh_path)
@@ -79,16 +79,56 @@ def main() -> None:
         tp = high.join(lsh, ["ind_a", "ind_b"], "left_semi").count()
         exact_sec = time.time() - t0
 
+        # --- kNN neighbor-set P/R for the sampled individuals ---------------
+        # exact top-10 needs (sampled × ALL) pairs — Σ deg_s(act)·deg(act),
+        # 1/k of the full blowup, feasible at sf1. FULL degrees on both sides
+        # so similarities equal the production values.
+        t0 = time.time()
+        from pyspark.sql import Window
+
+        deg = items.groupBy("individual").agg(F.count("*").alias("deg"))
+        it = items.join(deg, "individual")
+        s_side = it.filter(sampled).select(
+            F.col("individual").alias("si"), "act", F.col("deg").alias("sdeg"))
+        o_side = it.select(F.col("individual").alias("oi"), "act", F.col("deg").alias("odeg"))
+        spairs = (
+            s_side.join(o_side, "act")
+            .filter(F.col("si") != F.col("oi"))
+            .groupBy("si", "oi")
+            .agg(F.count("*").alias("inter"), F.max("sdeg").alias("sdeg"), F.max("odeg").alias("odeg"))
+            .select("si", "oi", F.round(
+                F.col("inter") / F.sqrt(F.col("sdeg").cast("double") * F.col("odeg")), 9
+            ).alias("sim"))
+        )
+        w = Window.partitionBy("si").orderBy(F.col("sim").desc(), F.col("oi").asc())
+        knn_exact = spairs.withColumn("rn", F.row_number().over(w)).filter("rn <= 10").select("si", "oi").cache()
+        lsh_scored = spark.read.parquet(lsh_path)  # ind_a, ind_b, similarity
+        lsh_sym = lsh_scored.select(
+            F.col("ind_a").alias("si"), F.col("ind_b").alias("oi"), "similarity"
+        ).union(lsh_scored.select(
+            F.col("ind_b").alias("si"), F.col("ind_a").alias("oi"), "similarity"))
+        knn_lsh = (
+            lsh_sym.filter(F.pmod(F.xxhash64("si"), F.lit(args.k)) == 0)
+            .select("si", "oi", F.round("similarity", 9).alias("sim"))
+            .withColumn("rn", F.row_number().over(w)).filter("rn <= 10").select("si", "oi").cache()
+        )
+        knn_tp = knn_exact.join(knn_lsh, ["si", "oi"], "left_semi").count()
+        n_ex, n_ls = knn_exact.count(), knn_lsh.count()
+        knn_sec = time.time() - t0
+
         print(json.dumps({
             "sf": args.sf,
             "sample_rate": f"1/{args.k}",
             "n_individuals_sampled_gt": items.filter(sampled).select("individual").distinct().count(),
             "n_high_pairs_sampled": n_high,
             "recall_at_0.5": round(tp / n_high, 4) if n_high else None,
+            "knn10_precision": round(knn_tp / n_ls, 4) if n_ls else None,
+            "knn10_recall": round(knn_tp / n_ex, 4) if n_ex else None,
             "n_lsh_candidates_full": n_lsh,
             "gen_sec": round(gen_sec, 1),
             "lsh_full_scale_sec": round(lsh_sec, 1),
             "exact_sample_sec": round(exact_sec, 1),
+            "knn_eval_sec": round(knn_sec, 1),
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
