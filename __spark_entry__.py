@@ -463,10 +463,11 @@ def _build_lsh_oracle_sql(bands: int = 32, rows: int = 2) -> str:
     def unsigned(s: str) -> str:
         return f"((({s})::HUGEINT + 18446744073709551616) % 18446744073709551616)"
 
-    band_hash = hash_long_sql(
-        unsigned(f"sig[2*t.j + {rows}]"),
-        hash_long_sql(unsigned(f"sig[2*t.j + 1]"), hash_int_sql("t.j::HUGEINT", "42::HUGEINT")),
-    )
+    # fold the band's `rows` signature elements into the hash chain exactly
+    # as Spark's xxhash64(j, slice(minhash, j*rows+1, rows)) does
+    band_hash = hash_int_sql("t.j::HUGEINT", "42::HUGEINT")
+    for r in range(rows):
+        band_hash = hash_long_sql(unsigned(f"sig[{rows}*t.j + {r + 1}]"), band_hash)
     return f"""
 WITH items AS (
   SELECT DISTINCT subj AS individual,
@@ -553,7 +554,7 @@ WITH toks AS (
          ) & (1 << (7 - (i % 8))) != 0 THEN 1 ELSE -1 END) AS acc
   FROM th, generate_series(0, 63) AS t(i)
   GROUP BY doc_id, i
-), sh AS (
+), sh0 AS (
   SELECT doc_id,
          CAST(CASE WHEN v >= CAST(1 AS HUGEINT) << 63
               THEN v - (CAST(1 AS HUGEINT) << 64) ELSE v END AS BIGINT) AS sh
@@ -561,6 +562,12 @@ WITH toks AS (
                sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << i
                    ELSE CAST(0 AS HUGEINT) END) AS v
         FROM bits GROUP BY doc_id)
+), sh AS (
+  -- docs with NULL/empty/punctuation-only text have no tokens: the Spark
+  -- side fingerprints them as sh=0 (fillna + empty vote vector), so the
+  -- oracle must keep them too, not drop them from the pair scan
+  SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+  FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
@@ -690,13 +697,21 @@ def q_kg_events_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL-PROFILE fingerprint: groupBy user → sorted profile array → join on
     the profile itself. Pair generation is now exactly output-sized — no
     near-cartesian stage (plan pinned in tests/test_plans.py). Degrees here
-    are ≤ |event_type| = 5; the precondition is asserted in the pipeline
-    tests. Similarity is still computed by the pinned formula (deg/√(deg·deg)
+    are bounded by |distinct event_type| (5 in the fixture), eight orders of
+    magnitude under the ~3·10⁸ equivalence bound — the bound only breaks if
+    a single user accumulates ≥3·10⁸ DISTINCT event types, which the column's
+    own cardinality precludes. Similarity is still computed by the pinned
+    formula (deg/√(deg·deg)
     — exactly 1.0 in IEEE for integer deg) so both engines emit the same
     bits as the oracle's quadratic formulation."""
     ev = spark.read.parquet(_t(sf_dir, "events"))
     profiles = (
+        # explicit NULL policy (r2 review): a NULL event_type is not a
+        # profile bit on EITHER engine — collect_set silently drops NULLs
+        # while the oracle's count(*) would have counted them, a latent
+        # cross-engine divergence; both sides now filter
         ev.select("user_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
         .distinct()
         .groupBy("user_id")
         .agg(F.array_sort(F.collect_set("event_type")).alias("profile"))
@@ -718,7 +733,8 @@ def q_kg_events_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_SIMILAR_SQL = """
-WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+WITH items AS (SELECT DISTINCT user_id, event_type FROM events
+               WHERE event_type IS NOT NULL),
 deg AS (SELECT user_id, count(*) AS d FROM items GROUP BY user_id),
 pairs AS (
   SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS inter

@@ -101,10 +101,17 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50, stats: dict 
     - large-star: every neighbor v > u repoints to m = min(Γ(u) ∪ {u})
     - small-star: every neighbor v ≤ u (plus u) repoints to the min
     """
+    base = edges.select(F.col("src").alias("x"), F.col("dst").alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    # nodes captured BEFORE the self-loop drop: a node whose only edge is
+    # (n, n) must still appear in the output (r2 review finding — the
+    # min-label loop keeps it via bidir, so parity requires it here)
+    nodes = base.select(F.col("x").alias("node")).union(
+        base.select(F.col("y").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
     e = (
-        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        base.select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -152,10 +159,12 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50, stats: dict 
         fp = new_fp
     # fixpoint edges are stars (u, component-min) — each non-root u appears
     # exactly once; the groupBy-min is a no-op then, and a best-effort
-    # safety net if max_iter truncated before convergence
+    # safety net if max_iter truncated before convergence. Nodes with no
+    # surviving edge (isolated after self-loop removal) get identity labels.
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .union(nodes.select("node", F.col("node").alias("component")))
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )

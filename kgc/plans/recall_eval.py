@@ -102,7 +102,7 @@ def main() -> None:
         )
         w = Window.partitionBy("si").orderBy(F.col("sim").desc(), F.col("oi").asc())
         knn_exact = spairs.withColumn("rn", F.row_number().over(w)).filter("rn <= 10").select("si", "oi").cache()
-        lsh_scored = spark.read.parquet(lsh_path)  # ind_a, ind_b, similarity
+        lsh_scored = lsh  # already the materialized (ind_a, ind_b, similarity) table
         lsh_sym = lsh_scored.select(
             F.col("ind_a").alias("si"), F.col("ind_b").alias("oi"), "similarity"
         ).union(lsh_scored.select(

@@ -21,13 +21,14 @@ from pyspark.sql import SparkSession
 def _default_driver_mem() -> str:
     """In local[N] mode the driver JVM IS every executor, so the r1 fixed
     8g default was undersized for big-SF jobs on big boxes (the sf1 LSH
-    self-join OOMed at 8g, ran at 48g). Default to a quarter of physical
-    RAM, clamped to [8g, 32g]; KGC_DRIVER_MEM still overrides."""
+    self-join OOMed at 8g; verified green at this box's 31g default and at
+    48g). Default to a quarter of physical RAM, clamped to [8g, 48g] — the
+    upper clamp only bounds GC-pause territory; KGC_DRIVER_MEM overrides."""
     try:
         total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") // (1 << 30)
     except (ValueError, OSError):
         return "8g"
-    return f"{min(32, max(8, total_gb // 4))}g"
+    return f"{min(48, max(8, total_gb // 4))}g"
 
 
 def get_spark(

@@ -75,6 +75,24 @@ def test_entry_smoke(spark):
     assert df.columns == ["individual", "product", "score", "rank"]
 
 
+def test_ascii_text_precondition(ddb):
+    """Two oracles lean on ASCII text: Python re's \\w is Unicode while
+    DuckDB RE2's is ASCII-only (simhash tokenization), and the strpos char
+    offsets assume char == byte. Assert both corpora are pure ASCII so a
+    generator change that breaks the precondition fails loudly."""
+    n = ddb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "WHERE text IS NOT NULL AND length(text) != strlen(text)"
+    ).fetchone()[0]
+    assert n == 0
+    n = ddb.sql(
+        f"SELECT count(*) FROM (SELECT unnest(spans).text AS t FROM "
+        f"read_parquet('{entrymod.DOCS_PQ}/*.parquet')) "
+        "WHERE t IS NOT NULL AND length(t) != strlen(t)"
+    ).fetchone()[0]
+    assert n == 0
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)

@@ -110,6 +110,19 @@ class TestCC:
         st = sorted(map(tuple, connected_components_star(edges).collect()))
         assert ml == st
 
+    def test_star_variant_keeps_self_loop_only_nodes(self, spark):
+        """r2 review: a node whose only edge is (n, n) must not vanish —
+        the min-label loop keeps it via bidir, so parity requires it."""
+        from kgc.operators.canon import connected_components_star
+
+        edges = spark.createDataFrame(
+            [("s", "s"), ("a", "b")], "src string, dst string"
+        )
+        ml = sorted(map(tuple, connected_components(edges).collect()))
+        st = sorted(map(tuple, connected_components_star(edges).collect()))
+        assert ml == st
+        assert ("s", "s") in st
+
     def test_star_variant_adversarial_chain(self, spark):
         """4096-node chain — the worst case for label propagation. Star
         contraction must produce identical labels within O(log n) rounds
