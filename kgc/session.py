@@ -67,4 +67,17 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Under spark-submit the driver JVM exists BEFORE this code runs, so the
+    # builder's spark.driver.memory is silently ignored (only plain `python`
+    # invocations get it applied — pyspark launches the JVM itself). Warn
+    # loudly when the actual heap is far below the intended size; the fix is
+    # `spark-submit --driver-memory <size>`.
+    want_gb = int(os.environ.get("KGC_DRIVER_MEM", _default_driver_mem()).rstrip("g"))
+    got = int(spark._jvm.Runtime.getRuntime().maxMemory())  # type: ignore[union-attr]
+    if got < want_gb * (1 << 30) // 2:
+        print(
+            f"[kgc] WARNING: driver heap is {got / (1 << 30):.1f}g but this box wants "
+            f"~{want_gb}g; under spark-submit pass --driver-memory {want_gb}g "
+            "(session-builder memory conf cannot resize an already-started JVM)"
+        )
     return spark
