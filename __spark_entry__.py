@@ -1400,6 +1400,30 @@ WHERE kind = 'video'
 """
 
 
+def q_stream_construct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-44 deepened (r2): the FULL construction chain as a Structured
+    Streaming job — file-source doc stream → mapInPandas extraction →
+    stream-static broadcast link against batch-bootstrapped dims → parquet
+    sink (exactly-once per file) → batch compaction (natural-key dedup).
+    Must equal the batch pipeline's triples bit-for-bit (_TRIPLES_SQL).
+    The sink tempdir outlives the call: the returned DataFrame reads it
+    lazily and the driver collects after we return."""
+    import tempfile
+
+    from kgc.streaming.construct import bootstrap_dims, streaming_construct
+
+    docs = _docs(spark)
+    res, canon = bootstrap_dims(spark, docs, 0.01)
+    tmp = tempfile.mkdtemp(prefix="kgc_stream_construct_")
+    sink = streaming_construct(
+        spark, DOCS_PQ, res, canon,
+        os.path.join(tmp, "sink"), os.path.join(tmp, "ckpt"),
+    )
+    return sink.dropDuplicates(["subj", "pred", "obj", "ts", "doc_id", "span_idx"]).select(
+        "subj", "pred", "obj", F.unix_timestamp("ts").alias("ts_epoch"), "doc_id", "span_idx"
+    )
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1-day windows with watermark over the
     events table (file source drives the stream to completion); oracle is
@@ -1468,6 +1492,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mm_media_features": q_mm_media_features,
         "mm_frame_samples": q_mm_frame_samples,
         "stream_window_counts": q_stream_window_counts,
+        "stream_construct_triples": q_stream_construct_triples,
     }
 
 
@@ -1514,4 +1539,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_features": _MM_SQL,
         "mm_frame_samples": _MM_FRAMES_SQL,
         "stream_window_counts": _STREAM_SQL,
+        "stream_construct_triples": _TRIPLES_SQL,
     }

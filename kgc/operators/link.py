@@ -159,9 +159,19 @@ def link_triples_wide(mentions: DataFrame, catalog: DataFrame) -> DataFrame:
     stream. Semantically identical to
     assemble_triples(link_mentions(mentions_to_long(m), catalog)).
     """
+    res = link_resolution_dim(mentions_to_long(mentions), catalog)
+    return link_triples_wide_with_dim(mentions, res)
+
+
+def link_triples_wide_with_dim(mentions: DataFrame, res: DataFrame) -> DataFrame:
+    """The stateless half of link_triples_wide: resolve + assemble against a
+    PRECOMPUTED resolution dimension. This is the streaming-construction
+    carrier (kgc/streaming/construct.py): `mentions` may be a streaming
+    DataFrame — every op here is a narrow projection or a stream-static
+    broadcast join, no aggregation — while `res` is the slowly-changing
+    dimension the batch pipeline refreshes."""
     from kgc.functions.text import parse_ts
 
-    res = link_resolution_dim(mentions_to_long(mentions), catalog)
     res_ind = res.filter(F.col("role") == "individual").select(
         F.col("surface_key").alias("_ind_key"), F.col("entity_id").alias("subj")
     )

@@ -66,16 +66,24 @@ def union_triples(*parts: DataFrame) -> DataFrame:
     return out
 
 
+def canonical_rewrite(triples_raw: DataFrame, entities_canon: DataFrame) -> DataFrame:
+    """The stateless half of canonical_triples: broadcast alias→canonical
+    rewrite only, NO dedup — safe on a streaming DataFrame (the MERGE dedup
+    is a bounded-state batch/compaction concern, not a per-row one)."""
+    return triples_raw.join(
+        F.broadcast(entities_canon), triples_raw["subj"] == entities_canon["alias_id"], "left"
+    ).select(
+        F.coalesce(entities_canon["canonical_id"], triples_raw["subj"]).alias("subj"),
+        "pred", "obj", "ts", "doc_id", "span_idx",
+    )
+
+
 def canonical_triples(triples_raw: DataFrame, entities_canon: DataFrame) -> DataFrame:
     """§2.4-F: rewrite alias-level subjects through the canonical map, then
     MERGE-idempotent dedup on the natural key (§2.4-D).
 
     entities_canon is O(entities) — broadcast; the rewrite is shuffle-free.
     """
-    t = triples_raw.join(
-        F.broadcast(entities_canon), triples_raw["subj"] == entities_canon["alias_id"], "left"
-    ).select(
-        F.coalesce(entities_canon["canonical_id"], triples_raw["subj"]).alias("subj"),
-        "pred", "obj", "ts", "doc_id", "span_idx",
+    return canonical_rewrite(triples_raw, entities_canon).dropDuplicates(
+        ["subj", "pred", "obj", "ts", "doc_id", "span_idx"]
     )
-    return t.dropDuplicates(["subj", "pred", "obj", "ts", "doc_id", "span_idx"])

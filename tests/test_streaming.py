@@ -51,3 +51,58 @@ class TestStreaming:
             spark.read.parquet(EVENTS).dropDuplicates(["user_id", "event_type", "ts"]).count()
         )
         assert out.count() == n_distinct
+
+
+class TestStreamingConstruct:
+    """Incremental KG construction (kgc/streaming/construct.py): the batch
+    operators run unchanged on a doc stream against slowly-changing dims."""
+
+    def _batch_triples(self, spark, docs, sf):
+        from kgc.operators.canon import entities_canon_map, salted_dedup
+        from kgc.operators.extract import extract_mentions
+        from kgc.operators.link import link_triples_wide
+        from kgc.operators.spans import explode_spans
+        from kgc.operators.triples import canonical_triples
+        from kgc.sources.synth import alias_catalog, alias_edges
+
+        catalog = alias_catalog(spark, sf)
+        canon = entities_canon_map(salted_dedup(alias_edges(catalog), ["src", "dst"]))
+        return canonical_triples(
+            link_triples_wide(extract_mentions(explode_spans(docs)), catalog), canon
+        )
+
+    @staticmethod
+    def _rows(df):
+        return sorted(
+            (r["subj"], r["pred"], r["obj"], str(r["ts"]), r["doc_id"], r["span_idx"])
+            for r in df.collect()
+        )
+
+    def test_streaming_construct_matches_batch_and_resumes(self, spark, tmp_path):
+        from kgc.sources.synth import synth_documents
+        from kgc.streaming.construct import bootstrap_dims, streaming_construct
+
+        sf = 0.001
+        docs_dir = str(tmp_path / "docs")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        all_docs = synth_documents(spark, sf)
+        batch1 = all_docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+        batch2 = all_docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+        batch1.write.parquet(docs_dir)
+
+        res, canon = bootstrap_dims(spark, all_docs, sf)
+        got1 = streaming_construct(spark, docs_dir, res, canon, sink, ckpt)
+        want1 = self._batch_triples(spark, batch1, sf)
+        # stream emits no natural-key dupes here, so set equality == row equality
+        assert got1.count() == got1.dropDuplicates().count()
+        assert self._rows(got1) == self._rows(want1)
+
+        # incremental resume: add the second doc batch, re-drain with the
+        # SAME checkpoint — only the new files are processed (a reprocess
+        # would duplicate batch1's rows and fail the no-dupes assert)
+        batch2.write.mode("append").parquet(docs_dir)
+        got2 = streaming_construct(spark, docs_dir, res, canon, sink, ckpt)
+        want_all = self._batch_triples(spark, spark.read.parquet(docs_dir), sf)
+        assert got2.count() == got2.dropDuplicates().count()
+        assert self._rows(got2) == self._rows(want_all)
