@@ -1408,18 +1408,24 @@ def q_stream_construct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Must equal the batch pipeline's triples bit-for-bit (_TRIPLES_SQL).
     The sink tempdir outlives the call: the returned DataFrame reads it
     lazily and the driver collects after we return."""
+    import atexit
+    import shutil
     import tempfile
 
+    from kgc.operators.triples import NATURAL_KEY
     from kgc.streaming.construct import bootstrap_dims, streaming_construct
 
     docs = _docs(spark)
     res, canon = bootstrap_dims(spark, docs, 0.01)
     tmp = tempfile.mkdtemp(prefix="kgc_stream_construct_")
+    # the driver collects the returned DataFrame (which lazily reads the
+    # sink) before the process exits, so exit-time cleanup is safe
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     sink = streaming_construct(
         spark, DOCS_PQ, res, canon,
         os.path.join(tmp, "sink"), os.path.join(tmp, "ckpt"),
     )
-    return sink.dropDuplicates(["subj", "pred", "obj", "ts", "doc_id", "span_idx"]).select(
+    return sink.dropDuplicates(NATURAL_KEY).select(
         "subj", "pred", "obj", F.unix_timestamp("ts").alias("ts_epoch"), "doc_id", "span_idx"
     )
 

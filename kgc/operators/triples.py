@@ -15,6 +15,11 @@ from kgc.functions.text import parse_ts
 
 PRED_OF = {"touch": "TOUCHED", "media_touch": "TOUCHED", "conversion": "CONVERTED_BY", "purchase": "PURCHASED"}
 
+# §2.4-D natural key — the MERGE-dedup identity of a triple. Shared by the
+# batch dedup, the streaming-sink compaction, and the contract query so the
+# contract cannot drift piecewise.
+NATURAL_KEY = ["subj", "pred", "obj", "ts", "doc_id", "span_idx"]
+
 
 def assemble_triples(linked: DataFrame) -> DataFrame:
     """linked (from kgc.operators.link.link_mentions) → TRIPLES rows with
@@ -84,6 +89,4 @@ def canonical_triples(triples_raw: DataFrame, entities_canon: DataFrame) -> Data
 
     entities_canon is O(entities) — broadcast; the rewrite is shuffle-free.
     """
-    return canonical_rewrite(triples_raw, entities_canon).dropDuplicates(
-        ["subj", "pred", "obj", "ts", "doc_id", "span_idx"]
-    )
+    return canonical_rewrite(triples_raw, entities_canon).dropDuplicates(NATURAL_KEY)

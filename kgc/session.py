@@ -69,15 +69,33 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     # Under spark-submit the driver JVM exists BEFORE this code runs, so the
     # builder's spark.driver.memory is silently ignored (only plain `python`
-    # invocations get it applied — pyspark launches the JVM itself). Warn
-    # loudly when the actual heap is far below the intended size; the fix is
-    # `spark-submit --driver-memory <size>`.
-    want_gb = int(os.environ.get("KGC_DRIVER_MEM", _default_driver_mem()).rstrip("g"))
+    # invocations get it applied — pyspark launches the JVM itself). The
+    # session conf can't reveal this (the builder's ineffective value
+    # overwrites the conf view), but the silent-failure SIGNATURE can: the
+    # JVM heap stuck at spark-submit's 1g default while the builder intended
+    # multi-gigabyte. A user explicitly passing --driver-memory never lands
+    # under ~1.5g for this engine's documented commands.
+    intended = _parse_size_gb(spark.conf.get("spark.driver.memory", "1g"))
     got = int(spark._jvm.Runtime.getRuntime().maxMemory())  # type: ignore[union-attr]
-    if got < want_gb * (1 << 30) // 2:
+    if intended is not None and intended >= 4 and got < 1.5 * (1 << 30):
         print(
-            f"[kgc] WARNING: driver heap is {got / (1 << 30):.1f}g but this box wants "
-            f"~{want_gb}g; under spark-submit pass --driver-memory {want_gb}g "
-            "(session-builder memory conf cannot resize an already-started JVM)"
+            f"[kgc] WARNING: JVM heap is {got / (1 << 30):.1f}g (spark-submit's default) but "
+            f"this box wants ~{intended:g}g — the session builder cannot resize an "
+            f"already-started JVM; pass `spark-submit --driver-memory {intended:g}g`"
         )
     return spark
+
+
+def _parse_size_gb(size: str) -> float | None:
+    """Spark size string → GB ('8g', '8G', '8192m', bare MB number); None if
+    unparseable — the warning is best-effort and must never fail a session."""
+    try:
+        s = size.strip().lower()
+        for suffix, mult in (("g", 1.0), ("m", 1.0 / 1024), ("k", 1.0 / (1024 * 1024)), ("b", None)):
+            if s.endswith(suffix):
+                if suffix == "b":  # '8gb' / '512mb' style
+                    return _parse_size_gb(s[:-1])
+                return float(s[: -1]) * mult
+        return float(s) / 1024  # bare number = MB to Spark
+    except (ValueError, AttributeError):
+        return None

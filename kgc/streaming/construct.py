@@ -68,7 +68,13 @@ def streaming_construct(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    if not os.path.isdir(sink_dir):
+        # zero input files may leave no sink directory at all; honor the
+        # contract (a poller can fire before the first docs land)
+        return spark.createDataFrame([], triples.schema)
+    # explicit schema: a drained-but-empty sink has only _spark_metadata,
+    # and schema inference over zero data files would fail
+    return spark.read.schema(triples.schema).parquet(sink_dir)
 
 
 def bootstrap_dims(spark: SparkSession, docs: DataFrame, sf: float):

@@ -106,3 +106,21 @@ class TestStreamingConstruct:
         want_all = self._batch_triples(spark, spark.read.parquet(docs_dir), sf)
         assert got2.count() == got2.dropDuplicates().count()
         assert self._rows(got2) == self._rows(want_all)
+
+    def test_streaming_construct_empty_dir(self, spark, tmp_path):
+        """A poller may fire before any docs land: zero input files must
+        yield an empty DataFrame, not a missing-sink read error."""
+        from kgc.sources.synth import synth_documents
+        from kgc.streaming.construct import bootstrap_dims, streaming_construct
+
+        docs_dir = str(tmp_path / "docs")
+        import os
+
+        os.makedirs(docs_dir)
+        res, canon = bootstrap_dims(spark, synth_documents(spark, 0.001), 0.001)
+        out = streaming_construct(
+            spark, docs_dir, res, canon,
+            str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+            query_name="kgc_stream_construct_empty",
+        )
+        assert out.count() == 0
