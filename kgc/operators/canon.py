@@ -19,6 +19,8 @@ n_salt reducers — phase 2 finishes globally on an input already reduced to
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,7 +84,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25, stats: dict | Non
         if changed == 0:
             if stats is not None:
                 stats["iterations"] = _ + 1
+                stats["converged"] = True
             break
+    else:
+        # max_iter exhausted without a fixpoint: labels may still be split
+        # across a component — never fail silently (ADVICE r2)
+        warnings.warn(
+            f"connected_components: no fixpoint within max_iter={max_iter}; "
+            "labels may be non-canonical — raise max_iter or use "
+            "connected_components_star",
+            stacklevel=2,
+        )
+        if stats is not None:
+            stats["converged"] = False
     return labels
 
 
@@ -155,8 +169,21 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50, stats: dict 
         if new_fp == fp:
             if stats is not None:
                 stats["iterations"] = i + 1
+                stats["converged"] = True
             break
         fp = new_fp
+    else:
+        # the final groupBy-min below is only a best-effort net when the
+        # edge fixpoint wasn't reached — warn, don't silently truncate
+        # (ADVICE r2: this variant is the adversarial-graph path, where
+        # hitting the cap is likelier)
+        warnings.warn(
+            f"connected_components_star: edge fixpoint not reached within "
+            f"max_iter={max_iter}; labels may be non-canonical",
+            stacklevel=2,
+        )
+        if stats is not None:
+            stats["converged"] = False
     # fixpoint edges are stars (u, component-min) — each non-root u appears
     # exactly once; the groupBy-min is a no-op then, and a best-effort
     # safety net if max_iter truncated before convergence. Nodes with no

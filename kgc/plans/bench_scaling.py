@@ -52,7 +52,7 @@ if os.path.isdir("/dev/shm"):
 spark = get_spark(app_name=f"kgc-scale-{{cpus}}", cpus=cpus, extra_conf=extra)
 catalog = alias_catalog(spark, sf)
 canon = entities_canon_map(salted_dedup(alias_edges(catalog), ["src", "dst"]))
-canon = spark.createDataFrame(canon.toPandas())  # prebuilt dim, untimed
+canon = canon.localCheckpoint(eager=True)  # prebuilt dim, untimed (no driver round-trip)
 
 docs = spark.read.parquet(docs_path)
 t0 = time.time()

@@ -69,6 +69,20 @@ def test_one_mention_per_span_precondition(ddb):
         assert n is not None and n <= 1, (pat, n)
 
 
+def test_profile_separator_precondition(ddb):
+    """q_kg_events_similar_users joins on md5(concat_ws('\\x1f', profile)),
+    which is injective only while no event_type contains the \\x1f separator
+    (['a\\x1fb'] would collide with ['a','b']); the DuckDB oracle compares
+    actual profile sets, so a separator-bearing fixture could emit a
+    Spark-only false pair. Assert the precondition on the gate corpus so a
+    generator change fails loudly (ADVICE r2)."""
+    n = ddb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet') "
+        "WHERE event_type IS NOT NULL AND contains(event_type, chr(31))"
+    ).fetchone()[0]
+    assert n == 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
