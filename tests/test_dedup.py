@@ -7,10 +7,71 @@ from kgc.operators.dedup import (
     _simhash64,
     ann_topk_lsh,
     embedding_near_dup,
+    jaccard_pairs_bruteforce,
+    minhash_banded_pairs,
     simhash_pairs,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestMinHashBanded:
+    def _planted_docs(self, spark):
+        """40 disjoint-vocabulary base docs + 12 planted near-dups (one word
+        edited every `spacing` positions; k=3 shingles → shingle-Jaccard
+        ≈ (s-3)/(s+3) for spacing s, i.e. ~0.33..0.72 across the plants).
+        Deterministic — no rand(); md5-based minhash makes every assertion
+        below reproducible bit-for-bit."""
+        base = [
+            (f"doc-{i:03d}", " ".join(f"t{i}w{j}" for j in range(60)))
+            for i in range(40)
+        ]
+        dups = []
+        for i in range(12):
+            words = base[i][1].split()
+            spacing = 6 + (i % 6) * 2  # 6, 8, 10, 12, 14, 16
+            for p in range(0, len(words), spacing):
+                words[p] = f"edit{i}x{p}"
+            dups.append((f"dup-{i:03d}", " ".join(words)))
+        return spark.createDataFrame(base + dups, "doc_id string, text string")
+
+    def test_recall_vs_bruteforce_on_planted_near_dups(self, spark):
+        """VERDICT r2 #4: banded b×r recall measured against all-pairs
+        Jaccard ground truth. At b=8, r=2 expected recall is ≥0.90 for
+        j≥0.5 pairs (1-(1-j²)^8); assert ≥0.8 to absorb hash luck."""
+        docs = self._planted_docs(spark)
+        gt = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_bruteforce(docs, threshold=0.5).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_banded_pairs(docs, bands=8, rows=2, threshold=0.5).collect()
+        }
+        assert len(gt) >= 8, f"fixture must plant >=8 true pairs, got {len(gt)}"
+        recall = len(gt & got) / len(gt)
+        assert recall >= 0.8, (recall, len(gt))
+        # emitted Jaccards are exact: every banded pair is in the brute set
+        assert got <= gt
+
+    def test_single_sig_is_weaker_than_banded(self, spark):
+        """The r2 single-signature blocker (b=1, r=1) must recall strictly
+        fewer planted ~0.7-Jaccard pairs than b=8, r=2 — the reason banding
+        exists."""
+        docs = self._planted_docs(spark)
+        gt = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_bruteforce(docs, threshold=0.5).collect()
+        }
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_banded_pairs(docs, bands=1, rows=1, threshold=0.5).collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_banded_pairs(docs, bands=8, rows=2, threshold=0.5).collect()
+        }
+        assert len(banded & gt) > len(single & gt)
 
 
 class TestSimHash:
