@@ -8,7 +8,8 @@ lineage metrics (op-05); a re-run skips stages whose manifests still match
 
 Usage:
     spark-submit --py-files kgc.zip kgc/plans/run.py \
-        --sf 0.01 --workdir /tmp/kgc_run [--force] [--stage NAME] [--until triples] [--lsh-sim]
+        --sf 0.01 --workdir /tmp/kgc_run [--force] [--stage NAME] [--until triples] \
+        [--lsh-sim | --exact-sim] [--sim-pair-threshold N]
 """
 
 from __future__ import annotations
@@ -30,8 +31,10 @@ from kgc.operators.extract import extract_mentions
 from kgc.operators.link import link_mentions, mentions_to_long
 from kgc.operators.recommend import recommend
 from kgc.operators.similarity import (
+    AUTO_PAIR_THRESHOLD,
     candidate_pairs_lsh,
     hot_activities,
+    select_similarity_mode,
     similar_to_exact,
     touch_items,
 )
@@ -79,11 +82,19 @@ def run_pipeline(
     sf: float,
     docs: DataFrame | None = None,
     force: bool = False,
-    lsh_sim: bool = False,
+    sim_mode: str = "auto",
+    sim_pair_threshold: float = AUTO_PAIR_THRESHOLD,
     input_fp: str | None = None,
     until: str = "recommend",
+    info: dict | None = None,
 ) -> dict[str, DataFrame]:
-    """Run stages up to and including `until`; returns the tables built."""
+    """Run stages up to and including `until`; returns the tables built.
+
+    sim_mode: 'exact' | 'lsh' | 'auto' (default). Auto predicts the exact
+    path's pair-shuffle size (Σ_act C(deg,2), one cheap agg) and switches to
+    the banded-LSH candidate generator above `sim_pair_threshold` — the
+    10^12-scale plan engages without a manual flag (VERDICT r2 #1).
+    `info`, when supplied, receives {'sim_mode', 'sim_predicted_pairs'}."""
     os.makedirs(workdir, exist_ok=True)
     if docs is not None and input_fp is None:
         # a caller-supplied docs table must carry its own fingerprint:
@@ -137,12 +148,27 @@ def run_pipeline(
         force=force,
     )
 
+    if sim_mode not in ("auto", "exact", "lsh"):
+        raise ValueError(f"sim_mode must be 'auto'|'exact'|'lsh', got {sim_mode!r}")
+
     def build_similar():
-        # Default: exact blocked self-join (blocking key = activity) — the
-        # GraphGist's own co-touch semantics, P/R gate target. --lsh-sim
-        # switches to the banded candidate generator (10^12-scale path for
-        # the kNN consumer; recall tuned for similarity >= 0.5 pairs).
-        if lsh_sim:
+        # exact: blocked self-join (blocking key = activity) — the
+        # GraphGist's own co-touch semantics, P/R gate target. lsh: the
+        # banded candidate generator (10^12-scale path for the kNN
+        # consumer; recall tuned for similarity >= 0.5 pairs). Decided
+        # INSIDE the stage builder so a manifest resume skips the
+        # degree-histogram action along with the stage itself.
+        mode, predicted = sim_mode, None
+        if mode == "auto":
+            mode, predicted = select_similarity_mode(triples, sim_pair_threshold)
+            print(
+                f"[kgc] similarity auto-select: predicted {predicted:.4g} exact "
+                f"candidate pairs (threshold {sim_pair_threshold:.4g}) → {mode}"
+            )
+        if info is not None:
+            info["sim_mode"] = mode
+            info["sim_predicted_pairs"] = predicted
+        if mode == "lsh":
             stop = hot_activities(touch_items(triples))
             return candidate_pairs_lsh(triples, stoplist=stop)
         # dict_encode: the Σdeg² pair shuffle carries 8-byte codes instead of
@@ -187,7 +213,14 @@ def main() -> None:
              "re-run the DAG (upstream stages resume from their manifests)",
     )
     ap.add_argument("--force", action="store_true")
-    ap.add_argument("--lsh-sim", action="store_true")
+    sim = ap.add_mutually_exclusive_group()
+    sim.add_argument("--lsh-sim", dest="sim_mode", action="store_const", const="lsh",
+                     help="force the banded-LSH similarity path")
+    sim.add_argument("--exact-sim", dest="sim_mode", action="store_const", const="exact",
+                     help="force the exact inverted-index similarity path")
+    ap.set_defaults(sim_mode="auto")
+    ap.add_argument("--sim-pair-threshold", type=float, default=AUTO_PAIR_THRESHOLD,
+                    help="auto mode switches exact→LSH above this predicted pair count")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--until", default="recommend", choices=["triples", "recommend"])
     args = ap.parse_args()
@@ -201,7 +234,8 @@ def main() -> None:
         invalidate(os.path.join(args.workdir, args.stage))
     t0 = time.time()
     tables = run_pipeline(
-        spark, args.workdir, args.sf, force=args.force, lsh_sim=args.lsh_sim, until=args.until
+        spark, args.workdir, args.sf, force=args.force, sim_mode=args.sim_mode,
+        sim_pair_threshold=args.sim_pair_threshold, until=args.until,
     )
     n_triples = tables["triples"].count()
     wall = time.time() - t0

@@ -109,6 +109,33 @@ class TestLSH:
         assert pr_rec["recall"] >= 0.95 and pr_rec["precision"] >= 0.95, pr_rec
 
 
+class TestAutoSimilaritySelect:
+    def test_auto_engages_lsh_above_threshold(self, spark, tmp_path):
+        """VERDICT r2 #1 pipeline-level: with a threshold below the corpus's
+        predicted Σ C(deg,2) the auto mode must build the similarity stage
+        through the LSH path — no manual --lsh-sim — and its edges must
+        still recall the exact path's high-similarity pairs."""
+        info = {}
+        tables = run_pipeline(
+            spark, str(tmp_path / "auto_lsh"), SF, force=True,
+            sim_pair_threshold=10.0, info=info,
+        )
+        assert info["sim_mode"] == "lsh"
+        assert info["sim_predicted_pairs"] > 10.0
+        exact_high = similar_to_exact(tables["triples"]).filter("similarity >= 0.5")
+        pr = pr_eval(tables["similar_to"], exact_high, ["ind_a", "ind_b"])
+        assert pr["recall"] >= 0.95, pr
+
+    def test_auto_stays_exact_below_threshold(self, spark, tmp_path):
+        info = {}
+        run_pipeline(
+            spark, str(tmp_path / "auto_exact"), SF, force=True,
+            sim_pair_threshold=1e12, info=info,
+        )
+        assert info["sim_mode"] == "exact"
+        assert 0 < info["sim_predicted_pairs"] < 1e12
+
+
 class TestResume:
     def test_resume_skips_and_reproduces(self, spark, pipeline, capsys):
         workdir, tables = pipeline

@@ -330,6 +330,45 @@ class TestSimilarity:
         assert sim[("B", "C")] == pytest.approx(1 / 2)
         assert len(sim) == 3  # D appears nowhere; pairs emitted once (a<b)
 
+    def test_predict_pair_count_is_exact(self, spark):
+        """Σ_act C(deg,2): acts with deg 3, 2, 1 → 3 + 1 + 0 = 4 — and it
+        must equal the actual exact-path pair-generation output size."""
+        from kgc.operators.similarity import candidate_pairs_exact, predict_pair_count, touch_items
+
+        t = mk_triples(spark, [
+            ("A", "TOUCHED", "act-000", TS(2025, 1, 1), "d", 0),
+            ("B", "TOUCHED", "act-000", TS(2025, 1, 2), "d", 1),
+            ("C", "TOUCHED", "act-000", TS(2025, 1, 3), "d", 2),
+            ("A", "TOUCHED", "act-001", TS(2025, 1, 4), "d", 3),
+            ("B", "TOUCHED", "act-001", TS(2025, 1, 5), "d", 4),
+            ("D", "TOUCHED", "act-002", TS(2025, 1, 6), "d", 5),
+        ])
+        items = touch_items(t)
+        assert predict_pair_count(items) == 4.0
+        generated = candidate_pairs_exact(items).agg(F.sum("inter")).collect()[0][0]
+        assert generated == 4  # Σinter counts each (act, pair) row exactly once
+
+    def test_auto_select_skew_vs_uniform(self, spark):
+        """VERDICT r2 #1: a skew-planted corpus (hot activity touched by
+        everyone — Σdeg² quadratic) must select LSH; a uniform one (every
+        activity deg≤2 — output linear) must select exact, at the same
+        threshold."""
+        from kgc.operators.similarity import select_similarity_mode
+
+        n = 40
+        hot = mk_triples(spark, [
+            (f"i{j:02d}", "TOUCHED", "act-000", TS(2025, 1, 1), "d", j) for j in range(n)
+        ])
+        uniform = mk_triples(spark, [
+            (f"i{j:02d}", "TOUCHED", f"act-{j // 2:03d}", TS(2025, 1, 1), "d", j)
+            for j in range(n)
+        ])
+        threshold = 100.0  # hot: C(40,2)=780 pairs; uniform: 20 acts × C(2,2)=20
+        mode_hot, pred_hot = select_similarity_mode(hot, threshold)
+        mode_uni, pred_uni = select_similarity_mode(uniform, threshold)
+        assert (mode_hot, pred_hot) == ("lsh", 780.0)
+        assert (mode_uni, pred_uni) == ("exact", 20.0)
+
 
 class TestRecommend:
     def test_pinned_knn(self, spark):
