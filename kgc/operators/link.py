@@ -76,7 +76,9 @@ def score_links_udf(surface: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[
         yield keys.map(cache).astype("float64")
 
 
-def link_mentions(mentions_long: DataFrame, catalog: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions_long: DataFrame, catalog: DataFrame, broadcast_resolution: bool = True
+) -> DataFrame:
     """Resolve (mention_role, surface) rows to catalog entity ids.
 
     mentions_long columns: doc_id, span_idx, match_idx, mention_type, role
@@ -90,7 +92,13 @@ def link_mentions(mentions_long: DataFrame, catalog: DataFrame) -> DataFrame:
     broadcast-joined onto the mention stream. Per-mention cost at 10^12
     docs: one broadcast hash-join probe, zero shuffles of the stream, and
     the Python-side work is constant in the corpus size.
-    """
+
+    ``broadcast_resolution=False`` is the 10^9+-entity fallback (SCALE.md:
+    past ~a few GB the resolution dim no longer fits an executor broadcast):
+    both sides shuffle on (role, surface_key) into a sort-merge join —
+    one shuffle of the mention stream, none of it through the driver. Output
+    is bit-identical either way (pinned in tests/test_plans.py +
+    test_ops_core.py)."""
     m = mentions_long.withColumn("surface_key", normalize_surface("surface"))
     # --- vocabulary resolution (tiny) ----------------------------------
     vocab = m.select("role", "surface_key").distinct().withColumn(
@@ -115,8 +123,12 @@ def link_mentions(mentions_long: DataFrame, catalog: DataFrame) -> DataFrame:
         .agg(F.min(F.struct((-F.col("link_score")).alias("ns"), F.col("entity_id").alias("e"))).alias("b"))
         .select("role", "surface_key", F.col("b.e").alias("entity_id"), (-F.col("b.ns")).alias("link_score"))
     )
-    # --- stream rewrite (one broadcast hash join) ----------------------
-    return m.join(F.broadcast(resolution), ["role", "surface_key"]).select(
+    # --- stream rewrite (one broadcast hash join; sort-merge fallback) --
+    if broadcast_resolution:
+        joined = m.join(F.broadcast(resolution), ["role", "surface_key"])
+    else:
+        joined = m.join(resolution.hint("merge"), ["role", "surface_key"])
+    return joined.select(
         "doc_id", "span_idx", "match_idx", "mention_type", "ts_str", "role",
         "surface", "surface_key", "entity_id", "link_score",
     )

@@ -60,6 +60,23 @@ class TestJoinQuality:
         # scored resolution, which feeds BroadcastExchange
         assert plan.count("BroadcastExchange") >= 2
 
+    def test_link_sort_merge_fallback_plan_and_equality(self, spark, docs_path):
+        """broadcast_resolution=False (the 10^9+-entity broadcast-ceiling
+        seam, SCALE.md) must plan the stream rewrite as a SortMergeJoin and
+        emit the bit-identical row set as the broadcast path."""
+        from kgc.operators.link import link_mentions, mentions_to_long
+
+        docs = spark.read.parquet(docs_path)
+        cat = alias_catalog(spark, 0.001)
+        ml = mentions_to_long(extract_mentions(explode_spans(docs)))
+        smj = link_mentions(ml, cat, broadcast_resolution=False)
+        plan = plan_of(smj, "simple")
+        assert "SortMergeJoin" in plan, plan
+        bc = link_mentions(ml, cat)
+        a = sorted(tuple(r) for r in bc.collect())
+        b = sorted(tuple(r) for r in smj.collect())
+        assert a == b and len(a) > 0
+
     def test_dimension_joins_are_broadcast(self, spark):
         from kgc.operators.attribution import qualifying_touches
         from kgc.sources.synth import part_of_dim

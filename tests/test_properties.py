@@ -140,3 +140,16 @@ class TestParallelismInvariance:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert a == b
+
+    def test_map_in_arrow_metrics_equal_builtin(self, spark):
+        """op-48: the mapInArrow metrics carrier must reproduce the builtin
+        partition_metrics rows bit-for-bit (same partition ids, counts, XOR
+        fingerprints) — batch-level pre-reduction is exact because XOR is
+        associative/commutative."""
+        from kgc.plans.metrics import partition_metrics, partition_metrics_arrow
+        from kgc.sources.synth import synth_documents
+
+        docs = synth_documents(spark, 0.001).repartition(7).localCheckpoint(eager=True)
+        builtin = sorted(tuple(r) for r in partition_metrics(docs, "s").collect())
+        arrow = sorted(tuple(r) for r in partition_metrics_arrow(docs, "s").collect())
+        assert builtin == arrow and len(builtin) == 7
