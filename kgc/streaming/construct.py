@@ -31,12 +31,15 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kgc.operators.extract import extract_mentions
-from kgc.operators.link import link_triples_wide_with_dim
+from kgc.operators.link import link_triples_wide_outer, link_triples_wide_with_dim
 from kgc.operators.spans import explode_spans
 from kgc.operators.triples import canonical_rewrite
 from kgc.schemas import DOCS
+
+_TRIPLE_COLS = ["subj", "pred", "obj", "ts", "doc_id", "span_idx"]
 
 
 def streaming_construct(
@@ -47,45 +50,115 @@ def streaming_construct(
     sink_dir: str,
     checkpoint_dir: str,
     query_name: str = "kgc_stream_construct",
+    pending_dir: str | None = None,
 ) -> DataFrame:
     """Drain all currently-available docs in `docs_dir` into the triple sink;
     returns the sink as a batch DataFrame. Idempotent per input file via the
-    checkpoint: call again after new docs arrive to process only those."""
+    checkpoint: call again after new docs arrive to process only those.
+
+    With ``pending_dir`` set, mentions the resolution dimension cannot
+    resolve are ROUTED to a pending sink instead of silently dropping
+    (VERDICT r2 missing #2): the stream runs through foreachBatch, splitting
+    each micro-batch into canonical triples (→ sink_dir) and full unmatched
+    mention rows + miss reason (→ pending_dir, re-linkable later via
+    drain_pending after a dim refresh). foreachBatch downgrades the file
+    sink's exactly-once to at-least-once on crash-mid-batch; both sinks are
+    idempotent under replay — triples by the natural-key compaction
+    (§2.4-D), pending rows by full-row distinct in drain_pending — the same
+    contract the batch MERGE dedup already provides."""
     docs = spark.readStream.schema(DOCS).parquet(docs_dir)
-    triples = canonical_rewrite(
-        link_triples_wide_with_dim(extract_mentions(explode_spans(docs)), resolution_dim),
-        entities_canon,
-    )
+    mentions = extract_mentions(explode_spans(docs))
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
-    q = (
-        triples.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .queryName(query_name)
-        .start()
-    )
+    if pending_dir is None:
+        triples = canonical_rewrite(
+            link_triples_wide_with_dim(mentions, resolution_dim), entities_canon
+        )
+        writer = (
+            triples.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        out_schema = triples.schema
+    else:
+        combined = link_triples_wide_outer(mentions, resolution_dim)
+
+        def route(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                matched = batch_df.filter(F.col("miss").isNull()).select(*_TRIPLE_COLS)
+                canonical_rewrite(matched, entities_canon).write.mode("append").parquet(sink_dir)
+                pend = batch_df.filter(F.col("miss").isNotNull()).drop("subj", "pred", "obj", "ts")
+                if pend.limit(1).count() > 0:
+                    pend.write.mode("append").parquet(pending_dir)
+            finally:
+                batch_df.unpersist()
+
+        writer = combined.writeStream.foreachBatch(route).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        out_schema = canonical_rewrite(
+            spark.createDataFrame([], combined.schema).select(*_TRIPLE_COLS), entities_canon
+        ).schema
+    q = writer.trigger(availableNow=True).queryName(query_name).start()
     q.awaitTermination()
     if not os.path.isdir(sink_dir):
         # zero input files may leave no sink directory at all; honor the
         # contract (a poller can fire before the first docs land)
-        return spark.createDataFrame([], triples.schema)
+        return spark.createDataFrame([], out_schema)
     # explicit schema: a drained-but-empty sink has only _spark_metadata,
     # and schema inference over zero data files would fail
-    return spark.read.schema(triples.schema).parquet(sink_dir)
+    return spark.read.schema(out_schema).parquet(sink_dir)
 
 
-def bootstrap_dims(spark: SparkSession, docs: DataFrame, sf: float):
+def read_pending(spark: SparkSession, pending_dir: str) -> DataFrame:
+    """The pending sink as full-row-distinct MENTIONS rows + miss reason
+    (distinct absorbs foreachBatch at-least-once replays)."""
+    from kgc.schemas import MENTIONS
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([*MENTIONS.fields, T.StructField("miss", T.StringType(), True)])
+    if not os.path.isdir(pending_dir):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(pending_dir).distinct()
+
+
+def drain_pending(
+    spark: SparkSession,
+    pending_dir: str,
+    resolution_dim: DataFrame,
+    entities_canon: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch re-link of the pending sink against a REFRESHED resolution
+    dimension → (new_triples, still_pending).
+
+    The production loop: the batch pipeline periodically rebuilds the dims
+    over the grown entity catalog (bootstrap_dims), then drains the pending
+    sink; mentions that now resolve become canonical triples, the rest stay
+    pending for the next refresh."""
+    pend = read_pending(spark, pending_dir).drop("miss")
+    relinked = link_triples_wide_outer(pend, resolution_dim)
+    new_triples = canonical_rewrite(
+        relinked.filter(F.col("miss").isNull()).select(*_TRIPLE_COLS), entities_canon
+    )
+    still_pending = relinked.filter(F.col("miss").isNotNull()).drop("subj", "pred", "obj", "ts")
+    return new_triples, still_pending
+
+
+def bootstrap_dims(spark: SparkSession, docs: DataFrame, sf: float, catalog: DataFrame | None = None):
     """Batch bootstrap of the two slowly-changing dimensions the stream
     probes: the (role, surface_key) resolution dim and the canonical map.
-    In production this is the batch pipeline's periodic refresh."""
+    In production this is the batch pipeline's periodic refresh — pass
+    `catalog` to refresh against a GROWN entity catalog (the drain_pending
+    loop)."""
     from kgc.operators.canon import entities_canon_map, salted_dedup
     from kgc.operators.link import link_resolution_dim, mentions_to_long
     from kgc.sources.synth import alias_catalog, alias_edges
 
-    catalog = alias_catalog(spark, sf)
+    if catalog is None:
+        catalog = alias_catalog(spark, sf)
     res = link_resolution_dim(
         mentions_to_long(extract_mentions(explode_spans(docs))), catalog
     ).localCheckpoint(eager=True)
