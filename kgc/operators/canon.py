@@ -197,8 +197,45 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50, stats: dict 
     )
 
 
-def entities_canon_map(edges: DataFrame) -> DataFrame:
+# Past ~1e8 undirected edges the min-label loop's per-round FULL-edge-list
+# shuffle dominates its O(log d) round count; star contraction pays two
+# shuffles per round on a monotonically SHRINKING edge set and wins
+# regardless of graph shape. Below it, rounds are cheap and min-label's
+# single shuffle + changed-probe per round costs less than star's double
+# shuffle + fingerprint. (Diameter — the other discriminator — has no cheap
+# probe; edge volume is the one that moves real money at 10^9+ edges.)
+STAR_EDGE_THRESHOLD = 100_000_000
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    max_iter: int = 50,
+    stats: dict | None = None,
+    star_edge_threshold: int = STAR_EDGE_THRESHOLD,
+) -> DataFrame:
+    """op-28 dispatcher (VERDICT r2 #8): one O(E) count picks the variant.
+
+    Both variants emit the identical (node, component-min) labels — pinned
+    by tests — so the choice is purely a cost call; `stats['variant']`
+    records it."""
+    n_edges = edges.count()
+    variant = "star" if n_edges > star_edge_threshold else "min_label"
+    if stats is not None:
+        stats["variant"] = variant
+        stats["probe_edges"] = n_edges
+    if variant == "star":
+        return connected_components_star(edges, max_iter=max_iter, stats=stats)
+    return connected_components(edges, max_iter=min(max_iter, 25), stats=stats)
+
+
+def entities_canon_map(
+    edges: DataFrame,
+    stats: dict | None = None,
+    star_edge_threshold: int = STAR_EDGE_THRESHOLD,
+) -> DataFrame:
     """alias_id → canonical_id map (identity rows for component minima are
-    included, so a plain inner-join rewrite also works)."""
-    cc = connected_components(edges)
+    included, so a plain inner-join rewrite also works). Routes through the
+    op-28 auto-dispatcher so adversarial-scale edge sets engage star
+    contraction without a caller-side flag."""
+    cc = connected_components_auto(edges, stats=stats, star_edge_threshold=star_edge_threshold)
     return cc.select(F.col("node").alias("alias_id"), F.col("component").alias("canonical_id"))

@@ -172,6 +172,37 @@ class TestCC:
         comps = {r["component"] for r in st.collect()}
         assert len(comps) == 1
 
+    def test_auto_dispatch_engages_star_above_threshold(self, spark):
+        """VERDICT r2 #8: the pipeline CC surface (entities_canon_map) must
+        engage star contraction above the edge threshold — here forced low
+        so the 4096-chain routes through star — with labels identical to
+        the min-label default."""
+        from kgc.operators.canon import entities_canon_map
+
+        n = 4096
+        edges = spark.createDataFrame(
+            [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)],
+            "src string, dst string",
+        ).repartition(8)
+        stats: dict = {}
+        got = entities_canon_map(edges, stats=stats, star_edge_threshold=1000)
+        assert stats["variant"] == "star" and stats["probe_edges"] == n - 1
+        rows = got.collect()
+        assert len(rows) == n and all(r["canonical_id"] == "n00000" for r in rows)
+
+    def test_auto_dispatch_defaults_to_min_label_on_alias_graph(self, spark):
+        from kgc.operators.canon import entities_canon_map, salted_dedup
+        from kgc.sources.synth import alias_catalog, alias_edges
+
+        stats: dict = {}
+        got = entities_canon_map(
+            salted_dedup(alias_edges(alias_catalog(spark, 0.001)), ["src", "dst"]),
+            stats=stats,
+        )
+        assert stats["variant"] == "min_label"
+        # every alias maps to the lexicographic component min (no '#' suffix)
+        assert got.filter(F.col("canonical_id").contains("#")).count() == 0
+
     def test_salted_dedup(self, spark):
         df = spark.createDataFrame([("k1", 1), ("k1", 1), ("k1", 2), ("k2", 9)], "k string, v int")
         assert salted_dedup(df, ["k", "v"], n_salt=4).count() == 3
