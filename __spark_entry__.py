@@ -1133,11 +1133,15 @@ def q_dd_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash dedup blocking: signature = min(md5(shingle)) per doc (md5 so
     the oracle computes the identical hash); buckets with >1 doc are
     near-dup candidates."""
-    docs = spark.read.parquet(_t(sf_dir, "documents")).withColumn("_words", _words_col())
+    docs = _docs_parallel(spark, sf_dir).withColumn("_words", _words_col())
     sig = F.array_min(F.transform(_shingles_col(), lambda s: F.md5(s)))
     return (
-        docs.select("doc_id", sig.alias("minhash"))
-        .filter(F.col("minhash").isNotNull())
+        # pre-filter on word count (⟺ minhash IS NOT NULL: the signature is
+        # null iff the shingle set is empty iff size(words) < 3) — filtering
+        # on the derived column makes pushdown re-derive the whole signature
+        # inside the Filter node (r3 plan audit)
+        docs.filter(F.size("_words") >= 3)
+        .select("doc_id", sig.alias("minhash"))
         .groupBy("minhash")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n") > 1)
@@ -1197,14 +1201,24 @@ bands AS (
 )"""
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across the cluster for compute-bound shingle/
+    hash work: the sandbox table is ONE <128MB parquet file → one scan
+    split → one core. At real scale the lake's file count supplies scan
+    parallelism and this repartition would be dropped; here it is an honest
+    stand-in (hash-distribute by doc_id, the same layout a multi-file scan
+    yields)."""
+    n = spark.sparkContext.defaultParallelism * 2
+    return spark.read.parquet(_t(sf_dir, "documents")).repartition(n, "doc_id")
+
+
 def q_dd_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded b×r MinHash blocking buckets (>1 member) — the tunable-recall
     generalization of the single-signature q_dd_minhash_buckets (which is
     b=1, r=1; VERDICT r2 missing #4)."""
     from kgc.operators.dedup import minhash_banded_buckets
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return minhash_banded_buckets(docs, _MH_BANDS, _MH_ROWS)
+    return minhash_banded_buckets(_docs_parallel(spark, sf_dir), _MH_BANDS, _MH_ROWS)
 
 
 _DD_MINHASH_BANDED_SQL = f"""
@@ -1226,8 +1240,7 @@ def q_dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recalls them all (P ≈ 1-1e-7 at j=0.9)."""
     from kgc.operators.dedup import minhash_banded_pairs
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return minhash_banded_pairs(docs, _MH_BANDS, _MH_ROWS, threshold=0.10)
+    return minhash_banded_pairs(_docs_parallel(spark, sf_dir), _MH_BANDS, _MH_ROWS, threshold=0.10)
 
 
 _DD_JACCARD_SQL = f"""

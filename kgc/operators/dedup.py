@@ -56,11 +56,18 @@ def doc_shingles(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, sh) — distinct word k-shingle sets per doc; empty-set docs are
-    dropped (no signature is defined for them on either engine)."""
+    dropped (no signature is defined for them on either engine).
+
+    The drop predicate is `size(words) >= k` (⟺ non-empty shingle set:
+    shingle count = size(words) − k + 1, and array_distinct never empties a
+    non-empty array) — filtering on `size(sh) > 0` instead makes predicate
+    pushdown re-derive the ENTIRE shingle construction inside the Filter
+    node, doubling the per-row work (measured in the r3 bench; the plan
+    showed array_distinct(transform(...)) twice)."""
     return (
         docs.withColumn("_words", words_col(text_col))
+        .filter(F.size("_words") >= k)
         .select(F.col(id_col).alias("id"), F.array_distinct(shingles_col("_words", k)).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
 
 
