@@ -90,12 +90,19 @@ def minhash_band_keys(
             F.transform(F.col("sh"), lambda s: F.md5(F.concat_ws(":", i.cast("string"), s)))
         ),
     )
+    # Double-reference `sh` (size() guard is always true after doc_shingles'
+    # word-count filter) so CollapseProject keeps the shingle construction
+    # in its OWN projection: single-referenced, it gets inlined into the
+    # n-iteration signature transform, whose lambda re-evaluates the
+    # loop-invariant construction per seed — measured 16× the CPU at b=8,
+    # r=2 (the same multi-reference rule the r2 `_words` fix relied on).
+    sig_guarded = F.when(F.size("sh") >= 0, sig)
     band = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.md5(F.concat_ws("|", F.slice(F.col("_sig"), j * rows + 1, rows))),
     )
     return (
-        shingled.withColumn("_sig", sig)
+        shingled.withColumn("_sig", sig_guarded)
         .select("id", F.posexplode(band).alias("band_idx", "band_key"))
     )
 

@@ -116,6 +116,27 @@ class TestBlockingKeys:
         assert "band_key" in plan  # banded blocking is the join key
 
 
+class TestExpressionReuse:
+    def test_shingle_construction_not_duplicated(self, spark):
+        """r3 plan audit: (a) filtering on a derived column re-derives the
+        whole shingle construction inside the Filter node; (b) a
+        single-referenced shingle column gets inlined into the 16-seed
+        signature transform, whose lambda re-evaluates the loop-invariant
+        construction per seed (~16× CPU). Pin: array_distinct appears
+        EXACTLY once in the optimized plan, and the signature transform
+        iterates over the materialized `sh` attribute."""
+        import re
+
+        from kgc.operators.dedup import doc_shingles, minhash_band_keys
+
+        docs = spark.createDataFrame([("d1", "a b c d e")], "doc_id string, text string")
+        bk = minhash_band_keys(doc_shingles(docs), 8, 2)
+        full = plan_of(bk, "extended")
+        opt = full.split("== Optimized Logical Plan ==")[1].split("== Physical Plan ==")[0]
+        assert opt.count("array_distinct") == 1, opt
+        assert re.search(r"transform\(sh#\d+", opt), opt  # sig reads the attr
+
+
 class TestAggQuality:
     def test_profile_agg_is_partial_final(self, spark):
         from kgc.operators.similarity import profile_degree, touch_items
