@@ -157,6 +157,43 @@ class TestStreamingConstruct:
         assert rows == [("ind-9999", "TOUCHED", "act-003", "n1")]
         assert still.count() == 0
 
+    def test_partial_refresh_keeps_unresolved_pending(self, spark, tmp_path):
+        """Two novel individuals pend; the refresh adds only one to the
+        catalog → drain links exactly that one and returns the other in
+        still_pending (ready for the next refresh cycle)."""
+        from kgc.schemas import DOCS
+        from kgc.sources.synth import alias_catalog
+        from kgc.streaming.construct import bootstrap_dims, drain_pending, streaming_construct
+
+        docs = spark.createDataFrame(
+            [
+                ("n1", [("text", "I-9999 opened email act-003 of campaign cmp-00 at 2025-01-06T10:00:00Z.", None, 0)]),
+                ("n2", [("text", "I-8888 purchased prd-0001 at 2025-01-07T10:00:00Z.", None, 0)]),
+            ],
+            DOCS,
+        )
+        docs_dir = str(tmp_path / "docs")
+        docs.write.parquet(docs_dir)
+        pend_dir = str(tmp_path / "pending")
+        res, canon = bootstrap_dims(spark, docs, 0.001)
+        streaming_construct(
+            spark, docs_dir, res, canon,
+            str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+            query_name="kgc_stream_pending_partial", pending_dir=pend_dir,
+        )
+        extra = spark.createDataFrame(
+            [("i 9999", "ind-9999", "individual")],
+            "surface_key string, entity_id string, entity_type string",
+        )
+        res2, canon2 = bootstrap_dims(
+            spark, docs, 0.001, catalog=alias_catalog(spark, 0.001).unionByName(extra)
+        )
+        new_triples, still = drain_pending(spark, pend_dir, res2, canon2)
+        assert [(r["subj"], r["doc_id"]) for r in new_triples.collect()] == [("ind-9999", "n1")]
+        srows = still.collect()
+        assert len(srows) == 1 and srows[0]["doc_id"] == "n2"
+        assert srows[0]["miss"] == "individual" and srows[0]["ind_surface"] == "I-8888"
+
     def test_pending_path_bit_equal_when_nothing_pends(self, spark, tmp_path):
         """With a fully-resolvable corpus the foreachBatch split path must
         emit the identical triple set as the default file-sink path, and the
