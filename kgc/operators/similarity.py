@@ -106,12 +106,15 @@ AUTO_PAIR_THRESHOLD = 2e9
 
 
 def select_similarity_mode(
-    triples: DataFrame, threshold: float = AUTO_PAIR_THRESHOLD
+    triples: DataFrame,
+    threshold: float = AUTO_PAIR_THRESHOLD,
+    items: DataFrame | None = None,
 ) -> tuple[str, float]:
     """('exact'|'lsh', predicted_pairs) — the run_pipeline auto-switch
     (VERDICT r2 missing #1: a user who forgets --lsh-sim at 100× must not
-    get a job that cannot finish)."""
-    predicted = predict_pair_count(touch_items(triples))
+    get a job that cannot finish). Pass a prebuilt/materialized `items` to
+    avoid re-running the touch-dedup shuffle the chosen path needs anyway."""
+    predicted = predict_pair_count(touch_items(triples) if items is None else items)
     return ("lsh" if predicted > threshold else "exact"), predicted
 
 
@@ -199,11 +202,16 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
-def similar_to_exact(triples: DataFrame, dict_encode: bool = False) -> DataFrame:
+def similar_to_exact(
+    triples: DataFrame, dict_encode: bool = False, items: DataFrame | None = None
+) -> DataFrame:
     """SIMILAR_TO edges. With ``dict_encode`` the Σdeg² pair shuffle carries
     8-byte codes instead of id strings (see encode_individuals); output is
-    the identical row set either way (tests pin equality)."""
-    items = touch_items(triples)
+    the identical row set either way (tests pin equality). `items` supplies
+    a prebuilt (ideally materialized) touch_items table so callers that
+    already paid the dedup shuffle don't pay it again."""
+    if items is None:
+        items = touch_items(triples)
     if not dict_encode:
         return score_pairs(candidate_pairs_exact(items))
     enc, dic = encode_individuals(items)
@@ -274,14 +282,17 @@ def candidate_pairs_lsh(
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
     stoplist: DataFrame | None = None,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """op-17: banded self-join candidates, exact re-score (§2.4-B: emitted
     similarity values are exact; only pair recall is probabilistic).
 
     Blocking profiles exclude stop-listed hot activities; full profiles are
     used for scoring so values match the exact path on every emitted pair.
+    `items` supplies a prebuilt touch_items table (see similar_to_exact).
     """
-    items = touch_items(triples)
+    if items is None:
+        items = touch_items(triples)
     profiles = build_profiles(items)
     block_items = items if stoplist is None else items.join(stoplist, "act", "left_anti")
     block_profiles = (

@@ -158,9 +158,13 @@ def run_pipeline(
         # consumer; recall tuned for similarity >= 0.5 pairs). Decided
         # INSIDE the stage builder so a manifest resume skips the
         # degree-histogram action along with the stage itself.
+        # touch_items is a full dedup SHUFFLE of the touch stream — pay it
+        # ONCE (localCheckpoint) and share across the predict probe, the
+        # stop-list, and the chosen path's own consumers.
+        items = touch_items(triples).localCheckpoint(eager=True)
         mode, predicted = sim_mode, None
         if mode == "auto":
-            mode, predicted = select_similarity_mode(triples, sim_pair_threshold)
+            mode, predicted = select_similarity_mode(triples, sim_pair_threshold, items=items)
             print(
                 f"[kgc] similarity auto-select: predicted {predicted:.4g} exact "
                 f"candidate pairs (threshold {sim_pair_threshold:.4g}) → {mode}"
@@ -169,12 +173,12 @@ def run_pipeline(
             info["sim_mode"] = mode
             info["sim_predicted_pairs"] = predicted
         if mode == "lsh":
-            stop = hot_activities(touch_items(triples))
-            return candidate_pairs_lsh(triples, stoplist=stop)
+            stop = hot_activities(items)
+            return candidate_pairs_lsh(triples, stoplist=stop, items=items)
         # dict_encode: the Σdeg² pair shuffle carries 8-byte codes instead of
         # id strings — measured 18.4s → 10.5s on the sf0.1 similarity stage;
         # output pinned bit-equal to the plain path (tests/test_ops_core.py)
-        return similar_to_exact(triples, dict_encode=True)
+        return similar_to_exact(triples, dict_encode=True, items=items)
 
     similar = _stage(spark, workdir, "similarity", fp, build_similar, force=force)
     recs = _stage(
