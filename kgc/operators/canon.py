@@ -217,7 +217,9 @@ def connected_components_auto(
 
     Both variants emit the identical (node, component-min) labels — pinned
     by tests — so the choice is purely a cost call; `stats['variant']`
-    records it."""
+    records it. The probe evaluates the `edges` subtree once more than the
+    chosen variant would alone (~an extra O(E) scan, ≲10% of a CC run);
+    callers with an expensive edge derivation can pre-materialize."""
     n_edges = edges.count()
     variant = "star" if n_edges > star_edge_threshold else "min_label"
     if stats is not None:

@@ -94,7 +94,9 @@ def run_pipeline(
     path's pair-shuffle size (Σ_act C(deg,2), one cheap agg) and switches to
     the banded-LSH candidate generator above `sim_pair_threshold` — the
     10^12-scale plan engages without a manual flag (VERDICT r2 #1).
-    `info`, when supplied, receives {'sim_mode', 'sim_predicted_pairs'}."""
+    `info`, when supplied, receives {'sim_mode', 'sim_predicted_pairs'}
+    (only when the similarity stage actually rebuilds — a manifest resume
+    skips the decision along with the stage)."""
     os.makedirs(workdir, exist_ok=True)
     if docs is not None and input_fp is None:
         # a caller-supplied docs table must carry its own fingerprint:
