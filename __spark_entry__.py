@@ -1249,8 +1249,9 @@ def q_dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DD_JACCARD_SQL = f"""
-WITH {_DD_BANDS_CTE},
+# The capped banded-candidate CTE chain, shared by the pair gate query and
+# the cluster oracle (thresholds differ).
+_DD_CAND_CTES = f"""{_DD_BANDS_CTE},
 small_buckets AS (
   SELECT band_idx, band_key FROM bands
   GROUP BY band_idx, band_key HAVING count(*) <= {_MH_MAX_BUCKET}
@@ -1262,13 +1263,67 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands_c a JOIN bands_c b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _dd_jaccard_select(threshold: float) -> str:
+    return f"""
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 9) AS jaccard
 FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b
 WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.10
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {threshold}"""
+
+
+_DD_JACCARD_SQL = f"""
+WITH {_DD_CAND_CTES}
+{_dd_jaccard_select(0.10)}
+"""
+
+
+def q_dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: near-dup CLUSTERS = connected
+    components (op-28) over the verified banded-Jaccard pair graph
+    (j ≥ 0.5), keep = min doc_id per cluster; docs in no cluster keep
+    themselves. The step a training pipeline runs after pair verify — and
+    the dedup-side reuse of the same CC operator the entity canonicalizer
+    uses (oracle: recursive CTE, independently derived like _CANON_SQL)."""
+    from kgc.operators.canon import connected_components
+    from kgc.operators.dedup import minhash_banded_pairs
+
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = minhash_banded_pairs(
+        docs, _MH_BANDS, _MH_ROWS, threshold=0.5, max_bucket=_MH_MAX_BUCKET
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("component", F.col("node")).alias("keep_doc_id"),
+        )
+    )
+
+
+_DD_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DD_CAND_CTES},
+pairs AS ({_dd_jaccard_select(0.5)}),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, comp) AS (
+  SELECT a, a FROM (SELECT a FROM bidir UNION SELECT b FROM bidir)
+  UNION
+  SELECT b.b, r.comp FROM reach r JOIN bidir b ON b.a = r.node
+), lab AS (
+  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+)
+SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS keep_doc_id
+FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
 """
 
 
@@ -1551,6 +1606,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dd_minhash_buckets": q_dd_minhash_buckets,
         "dd_minhash_banded": q_dd_minhash_banded,
         "dd_jaccard_pairs": q_dd_jaccard_pairs,
+        "dd_dup_clusters": q_dd_dup_clusters,
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1599,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_buckets": _DD_MINHASH_SQL,
         "dd_minhash_banded": _DD_MINHASH_BANDED_SQL,
         "dd_jaccard_pairs": _DD_JACCARD_SQL,
+        "dd_dup_clusters": _DD_CLUSTERS_SQL,
         "dd_simhash_pairs": _DD_SIMHASH_SQL,
         "dd_embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "ann_cosine_topk": _ANN_SQL,
