@@ -1296,7 +1296,11 @@ def q_dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_banded_pairs(
         docs, _MH_BANDS, _MH_ROWS, threshold=0.5, max_bucket=_MH_MAX_BUCKET
     )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # materialize: CC's iterative loop would otherwise re-evaluate the whole
+    # shingle→band→verify subtree every round (r3 review finding)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
     cc = connected_components(edges)
     return (
         docs.select(F.col("doc_id").alias("node"))

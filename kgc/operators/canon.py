@@ -227,7 +227,7 @@ def connected_components_auto(
         stats["probe_edges"] = n_edges
     if variant == "star":
         return connected_components_star(edges, max_iter=max_iter, stats=stats)
-    return connected_components(edges, max_iter=min(max_iter, 25), stats=stats)
+    return connected_components(edges, max_iter=max_iter, stats=stats)
 
 
 def entities_canon_map(

@@ -120,6 +120,27 @@ def minhash_banded_buckets(
     )
 
 
+def banded_candidates(bk: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from minhash_band_keys output,
+    optionally dropping buckets above the hot-bucket cap. Shared by
+    minhash_banded_pairs and the recall harness so the evidence always
+    measures the shipped candidate rule."""
+    if max_bucket is not None:
+        sizes = bk.groupBy("band_idx", "band_key").agg(F.count("*").alias("_m"))
+        bk = bk.join(
+            sizes.filter(F.col("_m") <= max_bucket).drop("_m"),
+            ["band_idx", "band_key"], "left_semi",
+        )
+    a = bk.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = bk.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     bands: int = 8,
@@ -145,33 +166,27 @@ def minhash_banded_pairs(
     finishes in ~2 min). Buckets above the cap are excluded from PAIRWISE
     enumeration — dedup for those groups belongs to the bucket-level
     keep-min policy (minhash_banded_buckets), the standard split at scale.
+
+    The shingle table is localCheckpointed: it feeds the band-key side AND
+    both probe sides of the verify join (three different shuffle keys, so
+    no exchange reuse) — unmaterialized, the dominant shingle-construction
+    cost runs three times (r3 review finding).
     """
-    sh = doc_shingles(docs, k)
-    bk = minhash_band_keys(sh, bands, rows)
-    sizes = bk.groupBy("band_idx", "band_key").agg(F.count("*").alias("_m"))
-    bk = bk.join(
-        sizes.filter(F.col("_m") <= max_bucket).drop("_m"), ["band_idx", "band_key"], "left_semi"
-    )
-    a = bk.select(F.col("id").alias("id_a"), "band_idx", "band_key")
-    b = bk.select(F.col("id").alias("id_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    sh = doc_shingles(docs, k).localCheckpoint(eager=True)
+    cand = banded_candidates(minhash_band_keys(sh, bands, rows), max_bucket)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    raw = inter.cast("double") / union
+    # filter on the UNROUNDED value — the DuckDB oracle compares the raw
+    # quotient, and a rounded-vs-raw threshold would diverge within 5e-10
+    # of the boundary (r3 review finding); round only in the projection
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(inter.cast("double") / union, 9).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 9).alias("jaccard"))
     )
 
 
@@ -185,11 +200,11 @@ def jaccard_pairs_bruteforce(
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    raw = inter.cast("double") / union
     return (
         a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(inter.cast("double") / union, 9).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter((F.col("id_a") < F.col("id_b")) & (raw >= threshold))
+        .select("id_a", "id_b", F.round(raw, 9).alias("jaccard"))
     )
 
 

@@ -181,46 +181,18 @@ def link_triples_wide_with_dim(mentions: DataFrame, res: DataFrame) -> DataFrame
     carrier (kgc/streaming/construct.py): `mentions` may be a streaming
     DataFrame — every op here is a narrow projection or a stream-static
     broadcast join, no aggregation — while `res` is the slowly-changing
-    dimension the batch pipeline refreshes."""
-    from kgc.functions.text import parse_ts
+    dimension the batch pipeline refreshes.
 
-    res_ind = res.filter(F.col("role") == "individual").select(
-        F.col("surface_key").alias("_ind_key"), F.col("entity_id").alias("subj")
+    Implemented as the fully-matched slice of link_triples_wide_outer (one
+    source of truth for the resolve+assemble semantics, r3 review finding);
+    the subj/obj null-rejecting filter lets Catalyst's EliminateOuterJoin
+    turn both LEFT probes back into the inner broadcast hash joins the r2
+    plan had — pinned by tests/test_plans.py (no stream shuffle, no SMJ)."""
+    out = link_triples_wide_outer(mentions, res)
+    return (
+        out.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        .select("subj", "pred", "obj", "ts", "doc_id", F.col("span_idx").cast("int"))
     )
-    res_obj = res.filter(F.col("role") != "individual").select(
-        F.col("role").alias("_res_role"), F.col("surface_key").alias("_res_key"),
-        F.col("entity_id").alias("obj"),
-    )
-    obj_role = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(k) for k in _ROLE_OF_OBJ]),
-            F.array(*[F.lit(v) for v in _ROLE_OF_OBJ.values()]),
-        ),
-        F.col("mention_type"),
-    )
-    obj_surface = F.coalesce("act_surface", "cmp_surface", "prd_surface")
-    m = mentions.withColumn("_ind_key", normalize_surface("ind_surface")).withColumn(
-        "_obj_key", normalize_surface(obj_surface)
-    ).withColumn("_obj_role", obj_role)
-    out = (
-        m.join(F.broadcast(res_ind), "_ind_key")
-        .join(
-            F.broadcast(res_obj),
-            (F.col("_obj_key") == F.col("_res_key")) & (F.col("_obj_role") == F.col("_res_role")),
-        )
-        .select(
-            "subj",
-            F.when(F.col("mention_type").isin("touch", "media_touch"), F.lit("TOUCHED"))
-            .when(F.col("mention_type") == "conversion", F.lit("CONVERTED_BY"))
-            .otherwise(F.lit("PURCHASED"))
-            .alias("pred"),
-            "obj",
-            parse_ts("ts_str").alias("ts"),
-            "doc_id",
-            F.col("span_idx").cast("int"),
-        )
-    )
-    return out
 
 
 def link_triples_wide_outer(mentions: DataFrame, res: DataFrame) -> DataFrame:

@@ -17,7 +17,7 @@ banding exists to avoid — so, like the similarity harness
 The corpus is the kgc synthetic doc table flattened to text (template-
 heavy — the adversarial case for banding: hot buckets everywhere).
 
-Usage: python kgc/plans/dedup_recall_eval.py [--sf 1.0] [--k 40] [--threshold 0.5]
+Usage: python kgc/plans/dedup_recall_eval.py [--sf 1.0] [--k 80] [--threshold 0.5]
 Prints one JSON line: {"sf":..., "recall_at_t":..., "n_high_pairs":...}
 """
 
@@ -103,17 +103,11 @@ def main() -> None:
         #    deliberately routes to the bucket-level keep-min dedup instead
         #    of C(m,2) enumeration — the gap between the two numbers is
         #    exactly that routed mass, not lost duplicates.
-        from kgc.operators.dedup import minhash_band_keys
+        from kgc.operators.dedup import banded_candidates, minhash_band_keys
 
-        sbk = minhash_band_keys(doc_shingles(sample))
-        sa = sbk.select(F.col("id").alias("id_a"), "band_idx", "band_key")
-        sb = sbk.select(F.col("id").alias("id_b"), "band_idx", "band_key")
-        same_band = (
-            sa.join(sb, ["band_idx", "band_key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        # the SHIPPED candidate rule, uncapped — so the harness measures the
+        # production mechanism, not a re-implementation
+        same_band = banded_candidates(minhash_band_keys(doc_shingles(sample)))
         hit_band = gt.join(same_band, ["id_a", "id_b"], "left_semi").count()
         hit_enum = gt.join(banded, ["id_a", "id_b"], "left_semi").count()
 

@@ -97,6 +97,10 @@ def run_pipeline(
     `info`, when supplied, receives {'sim_mode', 'sim_predicted_pairs'}
     (only when the similarity stage actually rebuilds — a manifest resume
     skips the decision along with the stage)."""
+    if sim_mode not in ("auto", "exact", "lsh"):
+        # fail BEFORE any stage runs (and even when until='triples' skips
+        # the similarity stage) — a typo must not cost minutes of compute
+        raise ValueError(f"sim_mode must be 'auto'|'exact'|'lsh', got {sim_mode!r}")
     os.makedirs(workdir, exist_ok=True)
     if docs is not None and input_fp is None:
         # a caller-supplied docs table must carry its own fingerprint:
@@ -149,9 +153,6 @@ def run_pipeline(
         lambda: attribute(triples, part_of),
         force=force,
     )
-
-    if sim_mode not in ("auto", "exact", "lsh"):
-        raise ValueError(f"sim_mode must be 'auto'|'exact'|'lsh', got {sim_mode!r}")
 
     def build_similar():
         # exact: blocked self-join (blocking key = activity) — the

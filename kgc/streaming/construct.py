@@ -66,6 +66,24 @@ def streaming_construct(
     idempotent under replay — triples by the natural-key compaction
     (§2.4-D), pending rows by full-row distinct in drain_pending — the same
     contract the batch MERGE dedup already provides."""
+    # A sink_dir belongs to ONE mode for its lifetime: the file sink reads
+    # back through its _spark_metadata transaction log, which IGNORES plain
+    # parquet files appended by the foreachBatch split (and the split read
+    # would double-see log-committed files) — mixing silently hides triples
+    # (r3 review finding).
+    sink_log = os.path.join(sink_dir, "_spark_metadata")
+    if pending_dir is None and os.path.isdir(sink_dir) and not os.path.isdir(sink_log) and os.listdir(sink_dir):
+        raise ValueError(
+            f"{sink_dir} was written by the pending-routing mode (no "
+            "_spark_metadata log); re-draining it without pending_dir would "
+            "silently hide its triples — use a fresh sink_dir/checkpoint_dir"
+        )
+    if pending_dir is not None and os.path.isdir(sink_log):
+        raise ValueError(
+            f"{sink_dir} is a file-sink (has _spark_metadata); appending "
+            "foreachBatch output would be invisible to its reads — use a "
+            "fresh sink_dir/checkpoint_dir for the pending-routing mode"
+        )
     docs = spark.readStream.schema(DOCS).parquet(docs_dir)
     mentions = extract_mentions(explode_spans(docs))
     for q in spark.streams.active:
