@@ -217,9 +217,11 @@ def connected_components_auto(
 
     Both variants emit the identical (node, component-min) labels — pinned
     by tests — so the choice is purely a cost call; `stats['variant']`
-    records it. The probe evaluates the `edges` subtree once more than the
-    chosen variant would alone (~an extra O(E) scan, ≲10% of a CC run);
-    callers with an expensive edge derivation can pre-materialize."""
+    records it. The edges input is localCheckpointed first, so the probe
+    count and the chosen variant's own multiple scans all read ONE
+    materialization instead of re-deriving the caller's edge subtree (the
+    pipeline's is two dropDuplicates shuffles; r3 review finding)."""
+    edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
     variant = "star" if n_edges > star_edge_threshold else "min_label"
     if stats is not None:
