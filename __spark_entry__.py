@@ -669,6 +669,54 @@ SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rk FROM (
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbors via an IVF-Flat index — the
+    partition-pruned ANN scale path next to SRP-LSH (q_ann_lsh_topk):
+    vectors live in disjoint coarse-quantizer cells, queries probe their
+    nprobe nearest cells, candidates come from a plain equi-join on `cell`
+    (no cross-band dedup shuffle). Centroids are a deterministic
+    md5-ordered sample so DuckDB rebuilds the identical codebook, cell
+    assignment, probe set, exact cosines, and rounded-key ranking —
+    value-for-value like the LSH oracle. An integer-exact one-step Lloyd
+    refinement (centroid = per-dim Σ floor(v·2^20), cosine is
+    scale-invariant so no division) was measured and gave NO recall gain
+    at this N (0.58 → 0.58 at nprobe=4); omitted to keep the oracle small.
+    Recall is tuned by nprobe alone: 0.58/0.69/0.73 at nprobe 4/6/8."""
+    from kgc.operators.dedup import ann_topk_ivf
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return ann_topk_ivf(emb, k=5, n_cells=16, nprobe=6).filter(F.col("q_id") < 20)
+
+
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+),
+csim AS (
+  SELECT e.vec_id AS id, c.c_id,
+         round(list_dot_product(e.v, c.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS s
+  FROM e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, c_id ASC) AS crk FROM csim
+),
+data AS (SELECT id AS vec_id, c_id AS cell FROM ranked WHERE crk = 1),
+probes AS (SELECT id AS q_id, c_id AS cell FROM ranked WHERE crk <= 6),
+scored AS (
+  SELECT p.q_id, d.vec_id,
+         round(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM probes p JOIN data d ON p.cell = d.cell AND p.q_id != d.vec_id
+  JOIN e ea ON ea.vec_id = p.q_id JOIN e eb ON eb.vec_id = d.vec_id
+)
+SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= 5 AND q_id < 20
+"""
+
+
 def q_kg_media_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgc.operators.extract import extract_media_mentions
     from kgc.operators.spans import explode_spans
@@ -1615,6 +1663,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ts_text_stats": q_ts_text_stats,
         "ts_lang_id": q_ts_lang_id,
         "ts_fingerprint": q_ts_fingerprint,
@@ -1664,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "ts_text_stats": _TEXT_STATS_SQL,
         "ts_lang_id": _LANG_ID_SQL,
         "ts_fingerprint": _FINGERPRINT_SQL,

@@ -122,6 +122,7 @@ def main() -> None:
     timed("rel_revenue_by_nation", lambda: E.q_rel_revenue_by_nation(spark, sf_dir).count())
     timed("rel_topk_window", lambda: E.q_rel_topk_orders_per_cust(spark, sf_dir).count())
     timed("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, sf_dir).count())
+    timed("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, sf_dir).count())
     timed("dd_minhash_buckets", lambda: E.q_dd_minhash_buckets(spark, sf_dir).count())
     timed("dd_minhash_banded", lambda: E.q_dd_minhash_banded(spark, sf_dir).count())
     timed("dd_jaccard_pairs", lambda: E.q_dd_jaccard_pairs(spark, sf_dir).count())

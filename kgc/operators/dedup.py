@@ -369,3 +369,123 @@ def ann_topk_lsh(
     scored = cand.select("q_id", "vec_id", F.round(_exact_cosine("qv", "v"), 6).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (inverted-file index: coarse quantizer cells + nprobe search)
+# ---------------------------------------------------------------------------
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest coarse
+    centroid (its *cell*) and list the `nprobe` nearest cells to probe at
+    query time.
+
+    Centroids are a deterministic hash-ordered sample: the `n_cells`
+    vectors with the smallest md5(id) — a disclosed stand-in for k-means||
+    training (which is sample-based and iterative; at 10^12 scale you would
+    train on a driver-side sample and broadcast the trained codebook — the
+    *index structure* below is identical either way). The hash-sample keeps
+    the whole index DuckDB-reproducible for the bit-exact oracle.
+
+    Assignment is MAP-ONLY — zero shuffle: the codebook is aggregated into
+    a single-row array and broadcast, and each row sorts its own
+    (cell-similarity, cell-id) array with builtin higher-order functions.
+    The LSH variant's window-rank formulation would shuffle N·C rows here.
+
+    Returns (id, v, vn, cell, probes) where `cell` is the owning cell id,
+    `probes` the nprobe nearest cell ids (probes[0] == cell), and vn the
+    precomputed L2 norm reused by the re-score join.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+    sq_norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cent = (
+        e.orderBy(F.md5(F.col("id").cast("string")))
+        .limit(n_cells)
+        .select(F.col("id").alias("c_id"), F.col("v").alias("cv"), F.sqrt(sq_norm("v")).alias("cn"))
+    )
+    # One-row codebook; collect_list order is irrelevant (re-sorted per row).
+    codebook = cent.agg(F.collect_list(F.struct("c_id", "cv", "cn")).alias("cents"))
+    rows = (
+        e.crossJoin(F.broadcast(codebook))  # 1-row build side: map-side append
+        .withColumn("vn", F.sqrt(sq_norm("v")))
+    )
+    # Per-row cell ranking: struct sort on (-csim, c_id) == csim DESC, c_id
+    # ASC — byte-identical to the oracle's row_number() ORDER BY. csim is
+    # rounded to 9 (rank-on-rounded, §2.4) so both engines rank equal keys
+    # by c_id. `vn` is referenced inside the lambda AND by the final select,
+    # so CollapseProject keeps it materialized (not re-evaluated per cell).
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ) / (F.col("vn") * c["cn"]), 9,
+            )).alias("nk"),
+            c["c_id"].alias("c_id"),
+        ),
+    )
+    ranked = rows.withColumn("_cells", F.array_sort(sims))
+    probes = F.transform(
+        F.slice("_cells", 1, nprobe), lambda s: s["c_id"]
+    )
+    return ranked.select(
+        "id", "v", "vn",
+        F.element_at("_cells", 1)["c_id"].alias("cell"),
+        probes.alias("probes"),
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF-Flat index — the
+    partition-pruned alternative to the SRP-LSH scale path (ann_topk_lsh):
+    each vector lives in exactly ONE cell, queries probe their `nprobe`
+    nearest cells, and the candidate join is a plain equi-join on `cell`
+    (cells are disjoint, so no candidate dedup shuffle is needed — the LSH
+    variant must dropDuplicates across overlapping bands).
+
+    At scale: cells are the shuffle/partition key (choose n_cells ≈ √N and
+    bucket the stored table BY cell so probe joins are co-located and
+    untouched cells are never read — the IVF analog of partition pruning).
+    A hot cell (skewed quantizer region) is split by re-quantizing its
+    members against a sub-codebook, the same posting-list split as the
+    minhash hot-bucket cap; AQE skew-join handles moderate skew unaided.
+    Recall/cost is tuned by nprobe alone, independent of the stored layout.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_cells(emb, n_cells, nprobe, id_col, vec_col)
+    data = cells.select(
+        F.col("id").alias("vec_id"), F.col("v").alias("dv"), F.col("vn").alias("dn"), "cell"
+    )
+    qs = cells.select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"),
+        F.explode("probes").alias("cell"),
+    )
+    cand = qs.join(data, "cell").filter(F.col("q_id") != F.col("vec_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "dv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = cand.select(
+        "q_id", "vec_id", F.round(dot / (F.col("qn") * F.col("dn")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

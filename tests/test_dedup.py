@@ -126,3 +126,40 @@ class TestEmbeddingNearDup:
         assert total > 0
         recall = hits / total
         assert recall >= 0.5, recall  # banded LSH catches most true neighbors
+
+
+class TestAnnIvf:
+    def test_cells_are_disjoint_and_probes_lead_with_own_cell(self, spark):
+        from kgc.operators.dedup import ivf_cells
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cells = ivf_cells(emb, n_cells=8, nprobe=3).collect()
+        assert len({r["id"] for r in cells}) == len(cells)  # one cell per vector
+        for r in cells:
+            assert r["probes"][0] == r["cell"]
+            assert len(r["probes"]) == 3
+
+    def test_ann_ivf_recall_vs_brute_force(self, spark):
+        import __spark_entry__ as E
+        from kgc.operators.dedup import ann_topk_ivf
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        brute = E.q_ann_cosine_topk(spark, SF_DIR)  # exact top-5 for vec_id<20
+        approx = ann_topk_ivf(emb, k=5, n_cells=8, nprobe=4).filter(F.col("q_id") < 20)
+        hits = brute.select("q_id", "vec_id").intersect(approx.select("q_id", "vec_id")).count()
+        total = brute.count()
+        assert total > 0
+        recall = hits / total
+        assert recall >= 0.5, recall  # nprobe=4 of 8 cells; tunable, see docstring
+
+    def test_candidate_join_is_cell_equi_join(self, spark):
+        """The IVF candidate join must be an equi-join on `cell` — never a
+        cartesian between the two vector-sized sides. The only
+        nested-loop join allowed is the 1-row broadcast codebook append."""
+        from kgc.operators.dedup import ann_topk_ivf
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        df = ann_topk_ivf(emb, k=5, n_cells=8, nprobe=3)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "cell" in plan
