@@ -1599,6 +1599,30 @@ def q_stream_construct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-44 × dedup: INCREMENTAL exact dedup of the document stream — the
+    streaming twin of q_dd_exact_hash. foreachBatch appends per-batch
+    content-hash partials to a registry sink (state in the sink, never in
+    executors) and first-seen docs to a uniques sink; the compacted
+    registry must equal the batch exact-dedup oracle bit-for-bit
+    regardless of batch boundaries (two-chunk arrival is exercised in
+    tests/test_streaming.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgc.streaming.dedup import streaming_exact_dedup
+
+    tmp = tempfile.mkdtemp(prefix="kgc_stream_dedup_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    reg = streaming_exact_dedup(
+        spark, _t(sf_dir, "documents"),
+        os.path.join(tmp, "registry"), os.path.join(tmp, "uniques"),
+        os.path.join(tmp, "ckpt"),
+    )
+    return reg.filter(F.col("n") > 1)
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1-day windows with watermark over the
     events table (file source drives the stream to completion); oracle is
@@ -1671,6 +1695,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mm_frame_samples": q_mm_frame_samples,
         "stream_window_counts": q_stream_window_counts,
         "stream_construct_triples": q_stream_construct_triples,
+        "stream_dedup_registry": q_stream_dedup_registry,
     }
 
 
@@ -1721,4 +1746,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_samples": _MM_FRAMES_SQL,
         "stream_window_counts": _STREAM_SQL,
         "stream_construct_triples": _TRIPLES_SQL,
+        "stream_dedup_registry": _DD_EXACT_SQL,
     }

@@ -237,3 +237,45 @@ class TestStreamingConstruct:
             query_name="kgc_stream_construct_empty",
         )
         assert out.count() == 0
+
+
+class TestStreamingExactDedup:
+    def test_two_chunk_registry_equals_batch_and_uniques_are_first_seen(self, spark, tmp_path):
+        """Incremental exact dedup: drain two file arrivals; the compacted
+        registry must equal the one-shot batch groupBy bit-for-bit
+        (arrival order and batch boundaries cancel out), uniques must hold
+        exactly one row per distinct content hash, and the second drain
+        must process ONLY the new file (checkpointed file source)."""
+        from kgc.streaming.dedup import read_uniques, streaming_exact_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        cut = ids[len(ids) // 2]
+        stream_dir = str(tmp_path / "docs")
+        reg_dir = str(tmp_path / "registry")
+        unq_dir = str(tmp_path / "uniques")
+        ckpt = str(tmp_path / "ckpt")
+        # chunk 1 arrives (later ids first, so the registry min-doc proves
+        # order independence), drain
+        docs.filter(F.col("doc_id") >= cut).write.mode("append").parquet(stream_dir)
+        streaming_exact_dedup(spark, stream_dir, reg_dir, unq_dir, ckpt)
+        uniq_after_1 = read_uniques(spark, unq_dir).count()
+        # chunk 2 arrives, drain again
+        docs.filter(F.col("doc_id") < cut).write.mode("append").parquet(stream_dir)
+        reg = streaming_exact_dedup(spark, stream_dir, reg_dir, unq_dir, ckpt)
+
+        batch = (
+            docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        )
+        assert sorted(map(tuple, reg.collect())) == sorted(map(tuple, batch.collect()))
+        uniq = read_uniques(spark, unq_dir)
+        assert uniq.count() == uniq.select("content_hash").distinct().count()
+        assert uniq.count() == batch.count()
+        # second drain saw only chunk-2 files: after drain 1 the uniques
+        # are exactly chunk 1's distinct hashes; drain 2 adds exactly the
+        # hashes chunk 2 introduced
+        h1 = docs.filter(F.col("doc_id") >= cut).select(F.md5("text")).distinct().count()
+        h_all = batch.count()
+        assert uniq_after_1 == h1
+        assert uniq.count() - uniq_after_1 == h_all - h1
