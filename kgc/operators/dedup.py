@@ -489,3 +489,14 @@ def ann_topk_ivf(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_store(cells: DataFrame, path: str) -> None:
+    """Persist an IVF index (ivf_cells output) PARTITIONED BY cell — the
+    storage half of the scale design: a probe for nprobe cells becomes a
+    partition-pruned scan (only the probed cell directories are read;
+    unprobed cells cost nothing), the same layout Iceberg's
+    ``PARTITIONED BY (bucket(N, c))`` hides behind its catalog
+    (kgc/sources/catalog.py op-02). Pinned by
+    tests/test_plans.py::TestIvfStorage."""
+    cells.drop("probes").write.mode("overwrite").partitionBy("cell").parquet(path)

@@ -177,3 +177,26 @@ class TestCodegen:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         # "Found N WholeStageCodegen subtrees" with N >= 1
         assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan
+
+
+class TestIvfStorage:
+    def test_probe_scan_is_partition_pruned(self, spark, tmp_path):
+        """The stored IVF index is partitioned by cell, so fetching
+        candidates for a probe list must prune to the probed cell
+        directories — the scan's PartitionFilters carry the cell
+        predicate and unprobed cells are never read."""
+        from kgc.operators.dedup import ivf_cells, ivf_store
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        path = str(tmp_path / "ivf_index")
+        cells = ivf_cells(emb, n_cells=8, nprobe=3)
+        ivf_store(cells, path)
+        stored = spark.read.parquet(path)
+        # cells are keyed by their centroid's vector id — probe three real ones
+        probe_ids = [r["cell"] for r in stored.select("cell").distinct().limit(3).collect()]
+        probe = stored.filter(F.col("cell").isin(probe_ids))
+        plan = plan_of(probe, "formatted")
+        assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120], plan
+        # and the pruned read returns exactly the probed cells' members
+        expect = cells.filter(F.col("cell").isin(probe_ids)).count()
+        assert probe.count() == expect > 0
