@@ -1623,6 +1623,35 @@ def q_stream_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg.filter(F.col("n") > 1)
 
 
+def q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-44 × dedup: incremental NEAR-dup candidate detection — banded
+    MinHash over the document stream with a posting-registry sink
+    (kgc/streaming/dedup.py streaming_near_dedup). The accumulated pair
+    set must equal the batch banding bit-for-bit regardless of batch
+    boundaries; oracle = the uncapped band self-join."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgc.streaming.dedup import streaming_near_dedup
+
+    tmp = tempfile.mkdtemp(prefix="kgc_stream_neardup_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return streaming_near_dedup(
+        spark, _t(sf_dir, "documents"),
+        os.path.join(tmp, "postings"), os.path.join(tmp, "pairs"),
+        os.path.join(tmp, "ckpt"), bands=_MH_BANDS, rows=_MH_ROWS,
+    )
+
+
+_STREAM_NEARDUP_SQL = f"""
+WITH {_DD_BANDS_CTE}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1-day windows with watermark over the
     events table (file source drives the stream to completion); oracle is
@@ -1696,6 +1725,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_window_counts": q_stream_window_counts,
         "stream_construct_triples": q_stream_construct_triples,
         "stream_dedup_registry": q_stream_dedup_registry,
+        "stream_neardup_pairs": q_stream_neardup_pairs,
     }
 
 
@@ -1747,4 +1777,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_counts": _STREAM_SQL,
         "stream_construct_triples": _TRIPLES_SQL,
         "stream_dedup_registry": _DD_EXACT_SQL,
+        "stream_neardup_pairs": _STREAM_NEARDUP_SQL,
     }

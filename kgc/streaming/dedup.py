@@ -117,3 +117,122 @@ def streaming_exact_dedup(
     )
     q.awaitTermination()
     return read_registry(spark, registry_dir)
+
+
+def read_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
+    """The banded-MinHash posting registry: distinct (id, band_idx,
+    band_key) rows accumulated across batches (batch_id keeps replayed
+    appends byte-identical for the distinct)."""
+    if not os.path.isdir(postings_dir):
+        return spark.createDataFrame([], "batch_id long, id long, band_idx int, band_key string")
+    return spark.read.parquet(postings_dir).distinct()
+
+
+def read_candidate_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Distinct near-dup candidate pairs (id_a < id_b) emitted so far —
+    input to a downstream batch Jaccard verify (dd_jaccard machinery)."""
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame([], "id_a long, id_b long")
+    return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    postings_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    bands: int = 8,
+    rows: int = 2,
+    k: int = 3,
+    max_postings: int | None = None,
+    query_name: str = "kgc_stream_neardup",
+) -> DataFrame:
+    """Incremental NEAR-duplicate candidate detection — the banded-MinHash
+    twin of streaming_exact_dedup, closing the streaming side of the dedup
+    family (exact + near-dup).
+
+    Each micro-batch computes its docs' b×r band keys
+    (kgc/operators/dedup.minhash_band_keys — same keys as the batch path),
+    emits candidate pairs two ways — against the PRIOR posting registry
+    (cross-arrival dups) and batch-internally (same-batch dups) — then
+    appends its own keys to the registry. Pairs are normalized to
+    (least, greatest) so a crash-mid-batch replay (at-least-once) re-emits
+    byte-identical rows whether or not the postings append already
+    happened; both sinks dedup on read via distinct. With no cap the
+    accumulated pair set equals the BATCH banding exactly, regardless of
+    arrival order or batch boundaries (tested two-chunk).
+
+    `max_postings` is the registry-side rendering of the batch hot-bucket
+    cap: a band key stops ACCEPTING postings at the cap (later arrivals
+    still pair against the kept members), bounding the per-arrival join
+    fan-out on template-heavy corpora — deterministic given file order,
+    though (like any online cap) not arrival-order-free, so it is off by
+    default and the gate equality runs uncapped. The batch keep-min policy
+    stays the compaction-time answer for giant clusters.
+
+    Returns the distinct candidate pairs accumulated so far.
+    """
+    from kgc.operators.dedup import doc_shingles, minhash_band_keys
+    from kgc.streaming.touches import _read_stream
+
+    docs = _read_stream(spark, docs_path).select("doc_id", "text")
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bk = (
+            minhash_band_keys(doc_shingles(batch_df, k), bands, rows)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .select("batch_id", "id", "band_idx", "band_key")
+            .persist()
+        )
+        try:
+            prior = read_postings(spark, postings_dir).select(
+                F.col("id").alias("_pid"), "band_idx", "band_key"
+            )
+            cross = bk.join(prior, ["band_idx", "band_key"]).filter(
+                F.col("id") != F.col("_pid")
+            ).select("id", F.col("_pid").alias("_oid"))
+            internal = (
+                bk.select("id", "band_idx", "band_key")
+                .join(
+                    bk.select(F.col("id").alias("_oid"), "band_idx", "band_key"),
+                    ["band_idx", "band_key"],
+                )
+                .filter(F.col("id") < F.col("_oid"))
+                .select("id", "_oid")
+            )
+            pairs = (
+                cross.unionByName(internal)
+                .select(
+                    F.least("id", "_oid").alias("id_a"),
+                    F.greatest("id", "_oid").alias("id_b"),
+                )
+                .distinct()
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+            post = bk
+            if max_postings is not None:
+                full = (
+                    prior.groupBy("band_idx", "band_key")
+                    .agg(F.count("*").alias("_m"))
+                    .filter(F.col("_m") >= max_postings)
+                    .drop("_m")
+                )
+                post = bk.join(full, ["band_idx", "band_key"], "left_anti")
+            post.write.mode("append").parquet(postings_dir)
+        finally:
+            bk.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+    return read_candidate_pairs(spark, pairs_dir)

@@ -279,3 +279,58 @@ class TestStreamingExactDedup:
         h_all = batch.count()
         assert uniq_after_1 == h1
         assert uniq.count() - uniq_after_1 == h_all - h1
+
+
+class TestStreamingNearDedup:
+    def test_two_chunk_pairs_equal_batch_banding(self, spark, tmp_path):
+        """Streaming banded-MinHash candidates across two file arrivals
+        must equal the batch banding's pair set exactly (uncapped), no
+        matter which chunk a pair's docs arrived in."""
+        from kgc.operators.dedup import banded_candidates, doc_shingles, minhash_band_keys
+        from kgc.streaming.dedup import read_postings, streaming_near_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        cut = ids[len(ids) // 2]
+        stream_dir = str(tmp_path / "docs")
+        post_dir = str(tmp_path / "postings")
+        pairs_dir = str(tmp_path / "pairs")
+        ckpt = str(tmp_path / "ckpt")
+        docs.filter(F.col("doc_id") >= cut).write.mode("append").parquet(stream_dir)
+        streaming_near_dedup(spark, stream_dir, post_dir, pairs_dir, ckpt)
+        docs.filter(F.col("doc_id") < cut).write.mode("append").parquet(stream_dir)
+        got = streaming_near_dedup(spark, stream_dir, post_dir, pairs_dir, ckpt)
+
+        want = banded_candidates(minhash_band_keys(doc_shingles(docs)))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        # every streamed doc with a signature is registered exactly once per band
+        posts = read_postings(spark, post_dir)
+        per_doc = posts.groupBy("id").count().select("count").distinct().collect()
+        assert [r["count"] for r in per_doc] == [8]
+
+    def test_max_postings_caps_registry_growth(self, spark, tmp_path):
+        """The online hot-bucket rendering: a band key that reached the cap
+        accepts no further postings from later batches (cap granularity is
+        the micro-batch — a single batch can land at most one batch's
+        worth over it, like any online admission policy)."""
+        from kgc.streaming.dedup import read_postings, streaming_near_dedup
+
+        text = "alpha beta gamma delta epsilon zeta"
+        stream_dir = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "c")
+        docs1 = spark.createDataFrame([(i, text) for i in range(4)], "doc_id long, text string")
+        docs1.write.mode("append").parquet(stream_dir)
+        streaming_near_dedup(
+            spark, stream_dir, str(tmp_path / "p"), str(tmp_path / "q"), ckpt, max_postings=4
+        )
+        docs2 = spark.createDataFrame([(i, text) for i in range(4, 12)], "doc_id long, text string")
+        docs2.write.mode("append").parquet(stream_dir)
+        pairs = streaming_near_dedup(
+            spark, stream_dir, str(tmp_path / "p"), str(tmp_path / "q"), ckpt, max_postings=4
+        )
+        posts = read_postings(spark, str(tmp_path / "p"))
+        sizes = posts.groupBy("band_idx", "band_key").count().collect()
+        assert sizes and all(r["count"] <= 4 for r in sizes)
+        # capped members still pair against the registry: every later doc
+        # paired with the 4 registered ones
+        assert pairs.filter(F.col("id_b") >= 4).count() > 0
