@@ -469,6 +469,12 @@ def ann_topk_ivf(
     members against a sub-codebook, the same posting-list split as the
     minhash hot-bucket cap; AQE skew-join handles moderate skew unaided.
     Recall/cost is tuned by nprobe alone, independent of the stored layout.
+
+    Measured operating points (full self-join top-5 over the 2,000 sf0.1
+    vectors; BENCH/BASELINE.md §4): brute 72.6 s · n_cells=20, nprobe=12 →
+    4.9 s @ recall 0.846 · 16/8 → 4.5 s @ 0.758 — with hash-sampled
+    centroids, probing ~half the cells is the sweet spot; both dominate
+    the SRP-LSH variant (8.3 s @ 0.472) on this corpus.
     """
     from pyspark.sql import Window
 

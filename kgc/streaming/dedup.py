@@ -67,6 +67,41 @@ def read_uniques(spark: SparkSession, uniques_dir: str) -> DataFrame:
     )
 
 
+def _exact_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    registry_dir: str,
+    uniques_dir: str,
+) -> None:
+    """One micro-batch of the exact dedup, module-level so the replay test
+    can invoke it twice with the SAME batch_id (the crash-mid-batch
+    scenario) and pin that both compacted sinks are unchanged. Idempotence
+    holds ONLY under checkpointed replay (same batch_id): deleting the
+    checkpoint and re-draining re-ingests files under new batch ids and
+    double-counts — the checkpoint directory is part of the sink's state."""
+    partial = (
+        batch_df.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .select("batch_id", "content_hash", "n", "min_doc")
+        .persist()
+    )
+    try:
+        seen = read_registry(spark, registry_dir).select("content_hash")
+        new = (
+            partial.join(seen, "content_hash", "left_anti")
+            .select("batch_id", "content_hash", F.col("min_doc").alias("first_doc_id"))
+        )
+        # uniques FIRST: a crash between the two appends replays into
+        # byte-identical unique rows; the reverse order would see the
+        # replayed hashes already registered and drop them.
+        new.write.mode("append").parquet(uniques_dir)
+        partial.write.mode("append").parquet(registry_dir)
+    finally:
+        partial.unpersist()
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     docs_path: str,
@@ -87,26 +122,7 @@ def streaming_exact_dedup(
             q.stop()
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        partial = (
-            batch_df.groupBy(F.md5(F.col("text")).alias("content_hash"))
-            .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .select("batch_id", "content_hash", "n", "min_doc")
-            .persist()
-        )
-        try:
-            seen = read_registry(spark, registry_dir).select("content_hash")
-            new = (
-                partial.join(seen, "content_hash", "left_anti")
-                .select("batch_id", "content_hash", F.col("min_doc").alias("first_doc_id"))
-            )
-            # uniques FIRST: a crash between the two appends replays into
-            # byte-identical unique rows; the reverse order would see the
-            # replayed hashes already registered and drop them.
-            new.write.mode("append").parquet(uniques_dir)
-            partial.write.mode("append").parquet(registry_dir)
-        finally:
-            partial.unpersist()
+        _exact_merge_batch(spark, batch_df, batch_id, registry_dir, uniques_dir)
 
     q = (
         docs.writeStream.foreachBatch(merge)
@@ -134,6 +150,72 @@ def read_candidate_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     if not os.path.isdir(pairs_dir):
         return spark.createDataFrame([], "id_a long, id_b long")
     return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
+
+
+def _neardup_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    postings_dir: str,
+    pairs_dir: str,
+    bands: int = 8,
+    rows: int = 2,
+    k: int = 3,
+    max_postings: int | None = None,
+) -> None:
+    """One micro-batch of the near-dup detection, module-level so the
+    replay test can invoke it twice with the SAME batch_id and pin both
+    compacted sinks unchanged. A replay AFTER the postings append lands
+    re-derives each batch-internal pair a second time through the
+    cross-vs-registry join — but normalization to (least, greatest) makes
+    those rows byte-identical to the originals, so the read-side distinct
+    absorbs them. Same checkpoint caveat as _exact_merge_batch."""
+    from kgc.operators.dedup import doc_shingles, minhash_band_keys
+
+    bk = (
+        minhash_band_keys(doc_shingles(batch_df, k), bands, rows)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .select("batch_id", "id", "band_idx", "band_key")
+        .persist()
+    )
+    try:
+        prior = read_postings(spark, postings_dir).select(
+            F.col("id").alias("_pid"), "band_idx", "band_key"
+        )
+        cross = bk.join(prior, ["band_idx", "band_key"]).filter(
+            F.col("id") != F.col("_pid")
+        ).select("id", F.col("_pid").alias("_oid"))
+        internal = (
+            bk.select("id", "band_idx", "band_key")
+            .join(
+                bk.select(F.col("id").alias("_oid"), "band_idx", "band_key"),
+                ["band_idx", "band_key"],
+            )
+            .filter(F.col("id") < F.col("_oid"))
+            .select("id", "_oid")
+        )
+        pairs = (
+            cross.unionByName(internal)
+            .select(
+                F.least("id", "_oid").alias("id_a"),
+                F.greatest("id", "_oid").alias("id_b"),
+            )
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        post = bk
+        if max_postings is not None:
+            full = (
+                prior.groupBy("band_idx", "band_key")
+                .agg(F.count("*").alias("_m"))
+                .filter(F.col("_m") >= max_postings)
+                .drop("_m")
+            )
+            post = bk.join(full, ["band_idx", "band_key"], "left_anti")
+        post.write.mode("append").parquet(postings_dir)
+    finally:
+        bk.unpersist()
 
 
 def streaming_near_dedup(
@@ -173,7 +255,6 @@ def streaming_near_dedup(
 
     Returns the distinct candidate pairs accumulated so far.
     """
-    from kgc.operators.dedup import doc_shingles, minhash_band_keys
     from kgc.streaming.touches import _read_stream
 
     docs = _read_stream(spark, docs_path).select("doc_id", "text")
@@ -182,50 +263,10 @@ def streaming_near_dedup(
             q.stop()
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        bk = (
-            minhash_band_keys(doc_shingles(batch_df, k), bands, rows)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .select("batch_id", "id", "band_idx", "band_key")
-            .persist()
+        _neardup_merge_batch(
+            spark, batch_df, batch_id, postings_dir, pairs_dir,
+            bands=bands, rows=rows, k=k, max_postings=max_postings,
         )
-        try:
-            prior = read_postings(spark, postings_dir).select(
-                F.col("id").alias("_pid"), "band_idx", "band_key"
-            )
-            cross = bk.join(prior, ["band_idx", "band_key"]).filter(
-                F.col("id") != F.col("_pid")
-            ).select("id", F.col("_pid").alias("_oid"))
-            internal = (
-                bk.select("id", "band_idx", "band_key")
-                .join(
-                    bk.select(F.col("id").alias("_oid"), "band_idx", "band_key"),
-                    ["band_idx", "band_key"],
-                )
-                .filter(F.col("id") < F.col("_oid"))
-                .select("id", "_oid")
-            )
-            pairs = (
-                cross.unionByName(internal)
-                .select(
-                    F.least("id", "_oid").alias("id_a"),
-                    F.greatest("id", "_oid").alias("id_b"),
-                )
-                .distinct()
-                .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            )
-            pairs.write.mode("append").parquet(pairs_dir)
-            post = bk
-            if max_postings is not None:
-                full = (
-                    prior.groupBy("band_idx", "band_key")
-                    .agg(F.count("*").alias("_m"))
-                    .filter(F.col("_m") >= max_postings)
-                    .drop("_m")
-                )
-                post = bk.join(full, ["band_idx", "band_key"], "left_anti")
-            post.write.mode("append").parquet(postings_dir)
-        finally:
-            bk.unpersist()
 
     q = (
         docs.writeStream.foreachBatch(merge)

@@ -334,3 +334,39 @@ class TestStreamingNearDedup:
         # capped members still pair against the registry: every later doc
         # paired with the 4 registered ones
         assert pairs.filter(F.col("id_b") >= 4).count() > 0
+
+
+class TestStreamingDedupReplay:
+    def test_replayed_batches_leave_compacted_sinks_unchanged(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash before the checkpoint
+        commit replays the whole batch with the SAME batch_id. Invoking
+        each merge twice must leave every compacted read unchanged."""
+        from kgc.streaming.dedup import (
+            _exact_merge_batch,
+            _neardup_merge_batch,
+            read_candidate_pairs,
+            read_registry,
+            read_uniques,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+        reg, unq = str(tmp_path / "reg"), str(tmp_path / "unq")
+        post, pairs = str(tmp_path / "post"), str(tmp_path / "pairs")
+
+        _exact_merge_batch(spark, docs, 0, reg, unq)
+        before = (
+            sorted(map(tuple, read_registry(spark, reg).collect())),
+            sorted(map(tuple, read_uniques(spark, unq).collect())),
+        )
+        _exact_merge_batch(spark, docs, 0, reg, unq)  # replay
+        after = (
+            sorted(map(tuple, read_registry(spark, reg).collect())),
+            sorted(map(tuple, read_uniques(spark, unq).collect())),
+        )
+        assert before == after
+
+        _neardup_merge_batch(spark, docs, 0, post, pairs)
+        p_before = sorted(map(tuple, read_candidate_pairs(spark, pairs).collect()))
+        _neardup_merge_batch(spark, docs, 0, post, pairs)  # replay
+        p_after = sorted(map(tuple, read_candidate_pairs(spark, pairs).collect()))
+        assert p_before == p_after
