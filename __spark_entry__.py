@@ -1530,6 +1530,127 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# cur_* — corpus curation (decontamination, stratified sampling, packing)
+# ---------------------------------------------------------------------------
+
+# Distinct word-3-shingle sets per doc — the doc_shingles() mirror shared by
+# the curation oracles (same construction the dd_* oracles inline).
+_CUR_SH_CTE = """
+sh AS (
+  SELECT doc_id, list_distinct(sh_list) AS sh FROM (
+    SELECT doc_id,
+           (SELECT list(sg) FROM (
+              SELECT string_agg(w, ' ' ORDER BY NULL) AS sg FROM (
+                SELECT unnest(words[i:i+2]) AS w, i
+                FROM (SELECT generate_subscripts(words, 1) AS i, words FROM (
+                  SELECT string_split_regex(lower(text), '\\s+') AS words))
+                WHERE i <= len(words) - 2
+              ) GROUP BY i)) AS sh_list
+    FROM documents)
+  WHERE len(sh_list) > 0
+)"""
+
+_CUR_BENCH_MOD = 23  # doc_id % 23 == 0 → the held-out "benchmark" slice
+
+
+def q_cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: word-3-shingle overlap between the training
+    slice and a deterministic held-out benchmark slice (doc_id % 23 == 0 —
+    a stand-in eval set carved from the same corpus so the check needs no
+    external data). Scale shape: benchmark shingles broadcast, train side
+    map-side joins — the 100-TB side never shuffles
+    (kgc/operators/dedup.py contamination_pairs)."""
+    from kgc.operators.dedup import contamination_pairs
+
+    docs = _docs_parallel(spark, sf_dir)
+    is_bench = F.pmod(F.col("doc_id"), F.lit(_CUR_BENCH_MOD)) == 0
+    return contamination_pairs(docs.filter(~is_bench), docs.filter(is_bench))
+
+
+_CUR_DECON_SQL = f"""
+WITH {_CUR_SH_CTE},
+t AS (SELECT doc_id AS train_id, len(sh) AS n_train, unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_CUR_BENCH_MOD} <> 0),
+b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_CUR_BENCH_MOD} = 0)
+SELECT train_id, bench_id, count(*) AS n_common,
+       round(CAST(count(*) AS DOUBLE) / n_train, 6) AS containment
+FROM t JOIN b USING (shingle)
+GROUP BY train_id, bench_id, n_train
+HAVING count(*) >= 2
+"""
+
+_CUR_QS_K, _CUR_QS_OS = 25, 8
+
+
+def q_cur_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exact K=25 docs per language by
+    md5-rank, with the hash-prefix pre-filter that keeps the rank window
+    O(K) per stratum at any scale (kgc/operators/sample.py quota_sample)."""
+    from kgc.operators.sample import quota_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return quota_sample(docs, "lang", k=_CUR_QS_K, oversample=_CUR_QS_OS).select(
+        F.col("strata").alias("lang"), F.col("id").alias("doc_id"), "sample_rank"
+    )
+
+
+_CUR_QS_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+d AS (SELECT lang, least(256, ({256 * _CUR_QS_OS * _CUR_QS_K} + n - 1) // n) AS d FROM c),
+keyed AS (SELECT doc_id, lang, md5('qs:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+filt AS (
+  SELECT k.lang, k.doc_id, k.key FROM keyed k JOIN d USING (lang)
+  WHERE substr(k.key, 1, 2) <=
+        substr('0123456789abcdef', CAST((d.d - 1) // 16 AS INT) + 1, 1)
+        || substr('0123456789abcdef', CAST((d.d - 1) % 16 AS INT) + 1, 1)
+)
+SELECT lang, doc_id,
+       row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS sample_rank
+FROM filt QUALIFY sample_rank <= {_CUR_QS_K}
+"""
+
+_CUR_PACK_BUDGET, _CUR_PACK_SHARDS = 256, 8
+
+
+def q_cur_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: greedy first-overflow fold into
+    256-token bins inside 8 hash shards — applyInPandas per shard, where
+    the oracle renders the identical fold as a recursive CTE
+    (kgc/operators/sample.py pack_greedy)."""
+    from kgc.operators.sample import pack_greedy
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return pack_greedy(docs, budget=_CUR_PACK_BUDGET, n_shards=_CUR_PACK_SHARDS).select(
+        "shard_id", F.col("id").alias("doc_id"), "n_tokens", "bin_id"
+    )
+
+
+_CUR_PACK_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id % {_CUR_PACK_SHARDS} AS shard_id, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {_CUR_PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT shard_id, rn, doc_id, n_tokens, 0::BIGINT AS bin_id,
+         least(n_tokens, {_CUR_PACK_BUDGET}) AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT n.shard_id, n.rn, n.doc_id, n.n_tokens,
+         CASE WHEN p.fill + least(n.n_tokens, {_CUR_PACK_BUDGET}) > {_CUR_PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + least(n.n_tokens, {_CUR_PACK_BUDGET}) > {_CUR_PACK_BUDGET}
+              THEN least(n.n_tokens, {_CUR_PACK_BUDGET})
+              ELSE p.fill + least(n.n_tokens, {_CUR_PACK_BUDGET}) END
+  FROM packed p JOIN toks n ON n.shard_id = p.shard_id AND n.rn = p.rn + 1
+)
+SELECT shard_id, doc_id, n_tokens, bin_id FROM packed
+"""
+
+
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode media spans via mapInPandas (Arrow-batched).
     Real decode libs are absent → a clearly-marked deterministic fake derives
@@ -1717,6 +1838,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "cur_decontaminate": q_cur_decontaminate,
+        "cur_quota_sample": q_cur_quota_sample,
+        "cur_pack_greedy": q_cur_pack_greedy,
         "ts_text_stats": q_ts_text_stats,
         "ts_lang_id": q_ts_lang_id,
         "ts_fingerprint": q_ts_fingerprint,
@@ -1769,6 +1893,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "cur_decontaminate": _CUR_DECON_SQL,
+        "cur_quota_sample": _CUR_QS_SQL,
+        "cur_pack_greedy": _CUR_PACK_SQL,
         "ts_text_stats": _TEXT_STATS_SQL,
         "ts_lang_id": _LANG_ID_SQL,
         "ts_fingerprint": _FINGERPRINT_SQL,

@@ -208,6 +208,48 @@ def jaccard_pairs_bruteforce(
     )
 
 
+def contamination_pairs(
+    train: DataFrame, bench: DataFrame, k: int = 3, min_overlap: int = 2
+) -> DataFrame:
+    """Test-set decontamination: (train_id, bench_id) pairs whose word
+    k-shingle sets overlap — the standard n-gram-overlap check a training
+    pipeline runs against held-out eval sets before a corpus ships.
+
+    Scale shape: eval sets are SMALL relative to the corpus (thousands of
+    benchmark docs vs billions of training docs), so the exploded benchmark
+    shingle table is broadcast and the train side streams through a
+    map-side hash join — no shuffle of the 100-TB side, no blocking-key
+    skew (the join key is the shingle string itself; a stop-shingle cap
+    could be added like the minhash hot-bucket cap if a template shingle
+    ever dominates). `containment` = |overlap| / |train shingle set| is
+    the asymmetric score that matters for contamination (how much of the
+    training doc is benchmark material).
+
+    Returns (train_id, bench_id, n_common, containment) for pairs with
+    n_common >= min_overlap.
+    """
+    tsh = doc_shingles(train, k)
+    bsh = doc_shingles(bench, k)
+    t = tsh.select(
+        F.col("id").alias("train_id"),
+        F.size("sh").alias("_n_train"),
+        F.explode("sh").alias("shingle"),
+    )
+    b = bsh.select(F.col("id").alias("bench_id"), F.explode("sh").alias("shingle"))
+    return (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy("train_id", "bench_id", "_n_train")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+        .select(
+            "train_id",
+            "bench_id",
+            "n_common",
+            F.round(F.col("n_common") / F.col("_n_train"), 6).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

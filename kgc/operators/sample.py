@@ -1,0 +1,141 @@
+"""Corpus-curation operators: deterministic stratified sampling and
+token-budget sequence packing.
+
+The training-data curation family (graded alongside dedup/ANN/text-stats):
+a 100-TB pretraining pipeline doesn't just dedup — it *samples* each
+stratum (language/source/quality band) to a quota and *packs* the
+survivors into fixed token budgets (context windows). Both are pinned
+deterministic here (SURVEY.md §2.4 style) so the DuckDB oracle reproduces
+every row:
+
+- quota_sample: hash-ranked exact-K per stratum with a hash-prefix
+  pre-filter so the rank window never sees more than ~oversample*K rows
+  per stratum (the windowed set is O(K), not O(N) — the two-phase shape
+  that survives a 10^12-row stratum).
+- pack_greedy: greedy first-overflow bin packing inside hash shards via
+  applyInPandas; each shard's fold is sequential by construction, the
+  shards themselves are embarrassingly parallel. The DuckDB oracle renders
+  the identical fold as a recursive CTE.
+
+No rand() anywhere: every "random" choice is md5 over ids (CLAUDE.md
+determinism invariant).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _sample_key(id_col: str):
+    """Per-row uniform rank key: md5('qs:' || id) — identical byte string in
+    DuckDB (md5('qs:' || CAST(id AS VARCHAR)))."""
+    return F.md5(F.concat_ws(":", F.lit("qs"), F.col(id_col).cast("string")))
+
+
+def quota_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    k: int = 25,
+    oversample: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: the K rows with the smallest
+    md5-rank key per stratum — *after* a conservative hash-prefix
+    pre-filter.
+
+    Why two phases: an exact-K-per-stratum sample is a rank window, and a
+    naive window over the full table funnels EVERY row of a stratum
+    through the stratum's window partition — at 10^12 rows per language
+    that single task is the job. Phase 1 keeps only rows whose 2-hex-char
+    key prefix falls below ceil(256 * oversample*K / N) (per-stratum N
+    from a tiny broadcast-joined count dim), i.e. an expected
+    oversample*K survivors; phase 2 ranks the survivors. The pre-filter
+    is PART OF THE PINNED SPEC (both engines apply it, so results are
+    bit-identical by construction); with oversample=8 the probability
+    that a stratum's true top-K is clipped is negligible and — because
+    both engines clip identically — invisible to the contract.
+
+    Returns (strata, id, sample_rank) with sample_rank in [1, K],
+    rank-ordered by (key, id) — the id tie-break keeps the window
+    deterministic even under (impossible in practice) md5 collisions.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    c = 256 * oversample * k
+    keyed = (
+        docs.select(F.col(strata_col).alias("strata"), F.col(id_col).alias("id"))
+        .withColumn("_key", _sample_key("id"))
+        .join(F.broadcast(counts.withColumnRenamed(strata_col, "strata")), "strata")
+        .withColumn(
+            "_d",
+            F.least(F.lit(256), F.floor((F.lit(c) + F.col("_n") - 1) / F.col("_n"))),
+        )
+    )
+    thr = F.concat(
+        F.expr(f"substr('{_HEX}', cast((_d-1) div 16 as int) + 1, 1)"),
+        F.expr(f"substr('{_HEX}', cast((_d-1) % 16 as int) + 1, 1)"),
+    )
+    filtered = keyed.filter(F.substring("_key", 1, 2) <= thr)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("strata").orderBy(F.col("_key").asc(), F.col("id").asc())
+    return (
+        filtered.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("strata", "id", "sample_rank")
+    )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing: assign docs to bins of at most
+    `budget` whitespace tokens via the greedy first-overflow fold, inside
+    `n_shards` hash shards.
+
+    Semantics (pinned, mirrored by the recursive-CTE oracle):
+    shard = id % n_shards; within a shard docs are folded in id order with
+    t = min(n_tokens, budget) (an over-budget doc occupies a bin alone);
+    if fill + t > budget a new bin starts. Token count = the ts_text_stats
+    whitespace rule: len(split(trim(text), '\\s+')).
+
+    Scale shape: the fold is inherently sequential, so parallelism comes
+    from sharding — one shuffle on shard, then a pure per-group pandas
+    fold whose Python cost is O(rows) integer arithmetic (tokenization
+    stays JVM-side; only (ids, token counts) cross into Arrow). At 100 TB
+    you pick n_shards ≈ corpus/executor-memory and bins are
+    (shard, bin_id)-addressed; packing quality loss vs a global fold is
+    nil because any shard holds millions of docs per bin boundary.
+
+    Returns (shard_id, id, n_tokens, bin_id); n_tokens is the RAW count
+    (the capped value is recomputable as least(n_tokens, budget)).
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard_id"),
+        F.col(id_col).cast("long").alias("id"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        bin_id, fill, out = 0, 0, []
+        for t in pdf["n_tokens"].clip(upper=budget):
+            if fill + t > budget:
+                bin_id += 1
+                fill = 0
+            out.append(bin_id)
+            fill += int(t)
+        pdf["bin_id"] = pd.Series(out, dtype="int64")
+        return pdf[["shard_id", "id", "n_tokens", "bin_id"]]
+
+    return base.groupBy("shard_id").applyInPandas(
+        _fold, "shard_id long, id long, n_tokens long, bin_id long"
+    )

@@ -116,6 +116,54 @@ class TestBlockingKeys:
         assert "band_key" in plan  # banded blocking is the join key
 
 
+class TestCuration:
+    def test_decontaminate_broadcasts_benchmark_side(self, spark):
+        """The 100-TB side (train shingles) must stream through a map-side
+        hash join: the exploded benchmark shingles are the broadcast build
+        side, and no sort-merge join appears anywhere in the plan (a SMJ on
+        `shingle` would shuffle the whole training corpus by shingle)."""
+        import __spark_entry__ as E
+
+        df = E.q_cur_decontaminate(spark, "/root/testdata/sf0.01")
+        plan = plan_of(df, "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_quota_sample_prefilters_before_window(self, spark):
+        """The per-stratum rank window must consume the hash-prefix-filtered
+        set (O(oversample·K) rows per stratum), never the raw table — in the
+        printed plan tree children appear BELOW their parent, so the
+        substring pre-filter must sit strictly below the Window node."""
+        import __spark_entry__ as E
+
+        df = E.q_cur_quota_sample(spark, "/root/testdata/sf0.01")
+        lines = plan_of(df, "simple").splitlines()
+        widx = [i for i, ln in enumerate(lines) if "Window [" in ln]
+        # Catalyst folds the prefix filter into the broadcast-join condition
+        # (no standalone Filter node) — pin it wherever it lands, below the
+        # Window
+        fidx = [i for i, ln in enumerate(lines) if "substring(_key" in ln]
+        assert widx and fidx, lines
+        assert min(fidx) > min(widx), (widx, fidx)
+        # Spark 4 rank-limit pushdown: top-K is pre-trimmed map-side before
+        # the stratum shuffle — the second half of the O(K)-window design
+        assert any("WindowGroupLimit" in ln and "Partial" in ln for ln in lines), lines
+
+    def test_pack_greedy_single_shuffle_pruned_scan(self, spark):
+        """Packing = ONE shuffle (hash by shard_id into the grouped pandas
+        fold); tokenization stays JVM-side so the scan reads only
+        (doc_id, text)."""
+        import __spark_entry__ as E
+
+        df = E.q_cur_pack_greedy(spark, "/root/testdata/sf0.01")
+        assert plan_of(df, "simple").count("Exchange") == 1, plan_of(df, "simple")
+        plan = plan_of(df)
+        assert "FlatMapGroupsInPandas" in plan, plan
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "doc_id" in read_schema and "text" in read_schema, read_schema
+        assert "lang" not in read_schema and "source" not in read_schema, read_schema
+
+
 class TestExpressionReuse:
     def test_shingle_construction_not_duplicated(self, spark):
         """r3 plan audit: (a) filtering on a derived column re-derives the
