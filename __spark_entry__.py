@@ -1139,6 +1139,33 @@ SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, prev_eve
 WHERE event_type = 'purchase'
 """
 
+_QUANT_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_rel_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution quantiles per group (op-53): Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
+    definition (pos = p·(n−1)) and agree BIT-FOR-BIT on raw doubles
+    (verified on this corpus — no rounding applied). Exact percentile sorts
+    each group, so at 100 TB the production path is `approx_percentile`
+    (KLL-style mergeable sketch, partial-aggregatable); its error bound vs
+    this exact spec is pinned in tests/test_sketches.py."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.percentile("l_extendedprice", F.lit(p)).alias(f"q{int(p * 100)}")
+            for p in _QUANT_PS
+        ],
+        F.count("*").alias("n_rows"),
+    )
+
+
+_QUANTILES_SQL = (
+    "SELECT l_returnflag, "
+    + ", ".join(f"quantile_cont(l_extendedprice, {p}) AS q{int(p * 100)}" for p in _QUANT_PS)
+    + ", count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
+)
+
 
 # ===========================================================================
 # Training-data family (documents / embeddings)
@@ -1828,6 +1855,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_sessionize": q_rel_sessionize,
         "rel_from_json_events": q_rel_from_json_events,
         "rel_asof_last_event": q_rel_asof_last_event,
+        "rel_quantiles_lineitem": q_rel_quantiles_lineitem,
         "dd_exact_hash": q_dd_exact_hash,
         "dd_minhash_buckets": q_dd_minhash_buckets,
         "dd_minhash_banded": q_dd_minhash_banded,
@@ -1883,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessionize": _SESSIONIZE_SQL,
         "rel_from_json_events": _FROM_JSON_SQL,
         "rel_asof_last_event": _ASOF_SQL,
+        "rel_quantiles_lineitem": _QUANTILES_SQL,
         "dd_exact_hash": _DD_EXACT_SQL,
         "dd_minhash_buckets": _DD_MINHASH_SQL,
         "dd_minhash_banded": _DD_MINHASH_BANDED_SQL,

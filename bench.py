@@ -127,6 +127,9 @@ def main() -> None:
     timed("dd_minhash_banded", lambda: E.q_dd_minhash_banded(spark, sf_dir).count())
     timed("dd_jaccard_pairs", lambda: E.q_dd_jaccard_pairs(spark, sf_dir).count())
     timed("ts_text_stats", lambda: E.q_ts_text_stats(spark, sf_dir).count())
+    timed("cur_decontaminate", lambda: E.q_cur_decontaminate(spark, sf_dir).count())
+    timed("cur_quota_sample", lambda: E.q_cur_quota_sample(spark, sf_dir).count())
+    timed("cur_pack_greedy", lambda: E.q_cur_pack_greedy(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(
