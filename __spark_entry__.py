@@ -1445,43 +1445,24 @@ SELECT q_id, vec_id, cosine, CAST(rk AS INT) AS rk FROM (
 """
 
 
-_STOPWORDS = "(the|and|of|to|in|a|is|that|it|for)"
-
-
+# Canonical impl + shared constants: kgc/operators/curate.py (the curation
+# pipeline's quality stage filters on the same bit-reproducible score).
 # GPT-2-ish pre-tokenizer shape: contractions, letter runs, digit runs,
 # single non-space symbols — identical regex in both engines.
-_BPE_RE = r"('s|'t|'re|'ve|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
-_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escaped for the SQL string literal
+from kgc.operators.curate import (  # noqa: E402
+    BPE_RE as _BPE_RE,
+    BPE_RE_SQL as _BPE_RE_SQL,
+    STOPWORDS as _STOPWORDS,
+)
 
 
 def q_ts_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: whitespace + BPE-ish token counts, stopword
     and punctuation ratios, and a composite quality score (all mirrored
-    exactly in the DuckDB oracle)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
-    n_tok = F.size(tokens)
-    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 1))
-    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b{_STOPWORDS}\b"), 1))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"([^\w\s])"), 1))
-    stop_ratio = F.round(n_stop / n_tok, 6)
-    punct_ratio = F.round(n_punct / F.length("text"), 6)
-    # quality heuristic: reward stopword presence (natural prose), penalize
-    # punctuation soup and extreme lengths
-    quality = F.round(
-        F.least(stop_ratio * 4, F.lit(1.0)) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
-        * F.when((n_tok >= 5) & (n_tok <= 5000), 1.0).otherwise(0.2),
-        6,
-    )
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        quality.alias("quality_score"),
-    )
+    exactly in the DuckDB oracle; canonical impl kgc/operators/curate.py)."""
+    from kgc.operators.curate import quality_features
+
+    return quality_features(spark.read.parquet(_t(sf_dir, "documents")))
 
 
 _TEXT_STATS_SQL = f"""

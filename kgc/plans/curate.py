@@ -1,0 +1,229 @@
+"""Corpus-curation pipeline — the training-data twin of the KG pipeline
+(kgc/plans/run.py), chaining the whole curation family end-to-end:
+
+    quality → exact_dedup → near_dedup → decontam → sample → pack
+
+Each stage checkpoints to ``<workdir>/<stage>/`` with the same
+manifest/resume machinery as the KG stages (op-03), emits the SURVIVING
+corpus (doc ids + columns the next stage needs), and appends its casualties
+to a ``rejects`` ledger (doc_id, stage, reason) — the audit trail a
+production curation run ships with its corpus.
+
+Scale shape per stage (each is the gate-tested operator, not a re-derivation):
+- quality:     map-only builtin expressions (kgc/operators/curate.py)
+- exact_dedup: hash groupBy on md5(text) — bucketed, no skew (content
+               hashes are uniform)
+- near_dedup:  banded-minhash pairs (hot-bucket capped) → connected
+               components → keep min-id per cluster (kgc/operators/dedup.py
+               + canon.py — the same CC the entity canonicalizer uses)
+- decontam:    benchmark shingles BROADCAST; the corpus side never
+               shuffles (kgc/operators/dedup.py contamination_pairs)
+- sample:      per-stratum exact-K by md5 rank behind the hash-prefix
+               pre-filter (kgc/operators/sample.py quota_sample)
+- pack:        one shuffle on hash shard → applyInPandas greedy fold
+               (kgc/operators/sample.py pack_greedy)
+
+Usage:
+    spark-submit --py-files kgc.zip kgc/plans/curate.py \
+        --sf 0.01 --workdir /tmp/kgc_curate [--force] \
+        [--min-quality 0.1] [--quota 0] [--budget 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgc.operators.canon import connected_components
+from kgc.operators.curate import quality_features
+from kgc.operators.dedup import contamination_pairs, minhash_banded_pairs
+from kgc.operators.sample import pack_greedy, quota_sample
+from kgc.plans.run import _stage
+
+
+def run_curation(
+    spark: SparkSession,
+    workdir: str,
+    docs: DataFrame,
+    input_fp: str,
+    min_quality: float = 0.1,
+    bench_mod: int = 23,
+    contam_threshold: float = 0.5,
+    quota: int = 0,
+    budget: int = 256,
+    n_shards: int = 8,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Run the curation DAG over `docs` (doc_id, text, lang, source, ...).
+
+    `quota`: docs per language stratum kept by the sample stage; 0 disables
+    sampling (keep everything that survived the filters). Returns the stage
+    tables plus the `rejects` ledger and the funnel counts."""
+    os.makedirs(workdir, exist_ok=True)
+    rejects: list[DataFrame] = []
+
+    def reject(ids: DataFrame, stage: str, reason_col):
+        rejects.append(
+            ids.select(
+                F.col("doc_id"), F.lit(stage).alias("stage"), reason_col.alias("reason")
+            )
+        )
+
+    # -- quality: score every doc, keep quality_score >= min_quality --------
+    def build_quality():
+        feats = quality_features(docs)
+        return docs.join(feats.select("doc_id", "quality_score"), "doc_id")
+
+    scored = _stage(spark, workdir, "quality", input_fp, build_quality,
+                    bucket_by="doc_id", force=force)
+    kept_q = scored.filter(F.col("quality_score") >= min_quality)
+    reject(
+        scored.filter(F.col("quality_score") < min_quality),
+        "quality",
+        F.concat(F.lit("quality_score="), F.col("quality_score").cast("string")),
+    )
+
+    # -- exact_dedup: keep the min doc_id of each identical-content group ---
+    def build_exact():
+        keep = (
+            kept_q.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .drop("_h")
+        )
+        return kept_q.join(keep, "doc_id", "left_semi")
+
+    kept_e = _stage(spark, workdir, "exact_dedup", input_fp, build_exact,
+                    bucket_by="doc_id", force=force)
+    reject(kept_q.join(kept_e, "doc_id", "left_anti"), "exact_dedup",
+           F.lit("exact_duplicate"))
+
+    # -- near_dedup: banded-minhash pairs -> CC -> keep min-id per cluster --
+    def build_near():
+        pairs = minhash_banded_pairs(kept_e, threshold=0.5)
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).localCheckpoint(eager=True)  # CC iterates; don't re-derive shingles per round
+        cc = connected_components(edges)
+        keep = (
+            kept_e.select(F.col("doc_id").alias("node"))
+            .join(cc, "node", "left")
+            .filter(F.col("component").isNull() | (F.col("component") == F.col("node")))
+            .select(F.col("node").alias("doc_id"))
+        )
+        return kept_e.join(keep, "doc_id", "left_semi")
+
+    kept_n = _stage(spark, workdir, "near_dedup", input_fp, build_near,
+                    bucket_by="doc_id", force=force)
+    reject(kept_e.join(kept_n, "doc_id", "left_anti"), "near_dedup",
+           F.lit("near_duplicate_cluster_member"))
+
+    # -- decontam: drop docs containing too much benchmark material ---------
+    def build_decontam():
+        is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+        contaminated = (
+            contamination_pairs(kept_n.filter(~is_bench), kept_n.filter(is_bench))
+            .filter(F.col("containment") >= contam_threshold)
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+        )
+        # benchmark docs themselves leave the training corpus too
+        return (
+            kept_n.filter(~is_bench).join(contaminated, "doc_id", "left_anti")
+        )
+
+    kept_d = _stage(spark, workdir, "decontam", input_fp, build_decontam,
+                    bucket_by="doc_id", force=force)
+    reject(kept_n.join(kept_d, "doc_id", "left_anti"), "decontam",
+           F.when(F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0,
+                  "benchmark_slice").otherwise("contaminated"))
+
+    # -- sample: per-language quota (optional) ------------------------------
+    if quota > 0:
+        def build_sample():
+            keep = quota_sample(kept_d, "lang", k=quota).select(
+                F.col("id").alias("doc_id")
+            )
+            return kept_d.join(keep, "doc_id", "left_semi")
+
+        kept_s = _stage(spark, workdir, "sample", input_fp, build_sample,
+                        bucket_by="doc_id", force=force)
+        reject(kept_d.join(kept_s, "doc_id", "left_anti"), "sample",
+               F.lit("over_stratum_quota"))
+    else:
+        kept_s = kept_d
+
+    # -- pack: token-budget bin assignment over the survivors ---------------
+    def build_pack():
+        return pack_greedy(kept_s, budget=budget, n_shards=n_shards).select(
+            "shard_id", F.col("id").alias("doc_id"), "n_tokens", "bin_id"
+        )
+
+    packs = _stage(spark, workdir, "pack", input_fp, build_pack, force=force)
+
+    def build_rejects():
+        out = rejects[0]
+        for r in rejects[1:]:
+            out = out.unionByName(r)
+        return out
+
+    rejects_df = _stage(spark, workdir, "rejects", input_fp, build_rejects, force=force)
+
+    return {
+        "scored": scored,
+        "corpus": kept_s,
+        "packs": packs,
+        "rejects": rejects_df,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.01)
+    ap.add_argument("--sf-dir", default=None,
+                    help="documents.parquet directory (default /root/testdata/sf<sf>)")
+    ap.add_argument("--workdir", default="/tmp/kgc_curate")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--min-quality", type=float, default=0.1)
+    ap.add_argument("--quota", type=int, default=0,
+                    help="docs kept per language (0 = no sampling stage)")
+    ap.add_argument("--budget", type=int, default=256)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from kgc.session import get_spark
+
+    spark = get_spark(app_name=f"kgc-curate-sf{args.sf}", cpus=args.cpus)
+    sf_dir = args.sf_dir or f"/root/testdata/sf{args.sf:g}"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    tables = run_curation(
+        spark, args.workdir, docs, input_fp=f"docs-{sf_dir}",
+        min_quality=args.min_quality, quota=args.quota, budget=args.budget,
+        force=args.force,
+    )
+    n_in = docs.count()
+    n_out = tables["corpus"].count()
+    n_bins = tables["packs"].select("shard_id", "bin_id").distinct().count()
+    funnel = {
+        r["stage"]: r["n"]
+        for r in tables["rejects"].groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    wall = time.time() - t0
+    print(json.dumps({
+        "docs_in": n_in, "docs_out": n_out, "bins": n_bins,
+        "rejected_per_stage": funnel,
+        "wall_sec": round(wall, 2), "docs_per_sec": round(n_in / wall, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Curation-pipeline integration (kgc/plans/curate.py): a small corpus with
+one planted casualty per stage must come out partitioned exactly between the
+final corpus and the rejects ledger, with each plant rejected at its stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc.plans.curate import run_curation
+
+def _filler(d: int) -> str:
+    """Stopword-rich text whose content tokens are unique to doc `d`, so
+    distinct docs share almost no 3-shingles (only the pure-stopword
+    window 'the is of')."""
+    return " ".join(f"tok{d}x{i} the is of" for i in range(7))
+
+
+def _mk_docs(spark):
+    """doc_ids chosen so none is divisible by 23 except the benchmark doc.
+
+    Plants: 201/202 exact dups; 301/302 near-dups (one word differs);
+    23 = benchmark slice; 401 contains a chunk of 23's text (containment
+    high vs its own small shingle set, Jaccard vs the long bench doc low);
+    501 punctuation soup (quality 0)."""
+    bench_text = " ".join(
+        f"w{i} the of and to in is that it for a b{i % 7}" for i in range(6)
+    )  # 72 words -> stopword-rich, ~70 shingles
+    chunk = " ".join(bench_text.split()[:14])  # 12 shingles of bench material
+    rows = [
+        (101, _filler(101), "en"),
+        (102, _filler(102), "fr"),
+        (103, _filler(103), "en"),
+        (104, _filler(104), "fr"),
+        (105, _filler(105), "en"),
+        (106, _filler(106), "en"),
+        (201, _filler(201), "en"),
+        (202, _filler(201), "en"),  # exact dup of 201
+        (301, _filler(301) + " omega", "en"),
+        (302, _filler(301) + " sigma", "en"),  # near-dup of 301 (1 word differs)
+        (23, bench_text, "en"),  # benchmark slice (23 % 23 == 0)
+        (401, chunk + " unique tail words here now", "en"),  # contaminated
+        (501, "!!! ??? *** ((( ))) %%% &&&", "en"),  # quality 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    docs = _mk_docs(spark)
+    wd = str(tmp_path_factory.mktemp("curate"))
+    return docs, run_curation(spark, wd, docs, input_fp="test-fixture", quota=3)
+
+
+def test_corpus_and_rejects_partition_the_input(spark, tables):
+    docs, t = tables
+    kept = {r["doc_id"] for r in t["corpus"].select("doc_id").collect()}
+    rej = [tuple(r) for r in t["rejects"].collect()]
+    rej_ids = {r[0] for r in rej}
+    assert kept.isdisjoint(rej_ids), kept & rej_ids
+    assert len(rej) == len(rej_ids)  # each doc rejected at most once
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert kept | rej_ids == all_ids
+
+
+def test_each_plant_rejected_at_its_stage(tables):
+    _, t = tables
+    stage_of = {r["doc_id"]: (r["stage"], r["reason"]) for r in t["rejects"].collect()}
+    assert stage_of[501][0] == "quality"
+    assert stage_of[202] == ("exact_dedup", "exact_duplicate")  # 201 (min id) kept
+    assert 201 not in stage_of
+    assert stage_of[302][0] == "near_dedup"  # 301 (min id) kept
+    assert 301 not in stage_of
+    assert stage_of[23] == ("decontam", "benchmark_slice")
+    assert stage_of[401] == ("decontam", "contaminated")
+
+
+def test_quota_respected_per_lang(tables):
+    _, t = tables
+    counts = dict(
+        t["corpus"].groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(n <= 3 for n in counts.values()), counts
+
+
+def test_packs_cover_corpus_within_budget(tables):
+    _, t = tables
+    kept = {r["doc_id"] for r in t["corpus"].select("doc_id").collect()}
+    packs = t["packs"].collect()
+    assert {r["doc_id"] for r in packs} == kept
+    assert len(packs) == len(kept)  # each doc packed exactly once
+    fills = (
+        t["packs"]
+        .groupBy("shard_id", "bin_id")
+        .agg(F.sum(F.least("n_tokens", F.lit(256))).alias("fill"))
+        .collect()
+    )
+    assert all(r["fill"] <= 256 for r in fills), fills
