@@ -131,6 +131,21 @@ def main() -> None:
     timed("cur_quota_sample", lambda: E.q_cur_quota_sample(spark, sf_dir).count())
     timed("cur_pack_greedy", lambda: E.q_cur_pack_greedy(spark, sf_dir).count())
 
+    # --- curation pipeline e2e (quality→dedup→decontam→pack + ledger) ------
+    from kgc.plans.curate import run_curation
+
+    cur_wd = tempfile.mkdtemp(prefix="kgc_bench_curate_")
+    try:
+        docs_in = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        def _curate():
+            t = run_curation(spark, cur_wd, docs_in, input_fp="bench", force=True)
+            return t["packs"].count() + t["rejects"].count()
+
+        timed("curate_e2e", _curate)
+    finally:
+        shutil.rmtree(cur_wd, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

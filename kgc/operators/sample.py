@@ -89,6 +89,23 @@ def quota_sample(
     )
 
 
+def greedy_bins(tokens: list[int], budget: int) -> list[int]:
+    """The greedy first-overflow fold: bin assignment for token counts in
+    arrival order, each count capped at `budget`. Pure function so the
+    invariants (fill ≤ budget, bins consecutive, greedy-tightness: the
+    first doc of bin i+1 would have overflowed bin i) are property-tested
+    without a SparkSession (tests/test_properties.py)."""
+    bin_id, fill, out = 0, 0, []
+    for raw in tokens:
+        t = min(int(raw), budget)
+        if fill + t > budget:
+            bin_id += 1
+            fill = 0
+        out.append(bin_id)
+        fill += t
+    return out
+
+
 def pack_greedy(
     docs: DataFrame,
     budget: int = 256,
@@ -126,14 +143,9 @@ def pack_greedy(
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", ignore_index=True)
-        bin_id, fill, out = 0, 0, []
-        for t in pdf["n_tokens"].clip(upper=budget):
-            if fill + t > budget:
-                bin_id += 1
-                fill = 0
-            out.append(bin_id)
-            fill += int(t)
-        pdf["bin_id"] = pd.Series(out, dtype="int64")
+        pdf["bin_id"] = pd.Series(
+            greedy_bins(pdf["n_tokens"].tolist(), budget), dtype="int64"
+        )
         return pdf[["shard_id", "id", "n_tokens", "bin_id"]]
 
     return base.groupBy("shard_id").applyInPandas(

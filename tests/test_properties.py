@@ -153,3 +153,33 @@ class TestParallelismInvariance:
         builtin = sorted(tuple(r) for r in partition_metrics(docs, "s").collect())
         arrow = sorted(tuple(r) for r in partition_metrics_arrow(docs, "s").collect())
         assert builtin == arrow and len(builtin) == 7
+
+
+class TestGreedyPacking:
+    """Pure-function invariants of the op-52 packing fold (no session)."""
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10_000), max_size=300),
+        st.integers(min_value=1, max_value=2_000),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_fold_invariants(self, tokens, budget):
+        from kgc.operators.sample import greedy_bins
+
+        bins = greedy_bins(tokens, budget)
+        assert len(bins) == len(tokens)
+        capped = [min(t, budget) for t in tokens]
+        fills: dict[int, int] = {}
+        for b, t in zip(bins, capped):
+            fills[b] = fills.get(b, 0) + t
+        # every bin fits the budget
+        assert all(f <= budget for f in fills.values()), (fills, budget)
+        # bins are consecutive 0..max and assignment is nondecreasing
+        if bins:
+            assert bins[0] == 0
+            assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        # greedy tightness: the doc that OPENED bin i+1 would have
+        # overflowed bin i (no bin was closed early)
+        for i in range(1, len(bins)):
+            if bins[i] == bins[i - 1] + 1:
+                assert fills[bins[i - 1]] + capped[i] > budget
