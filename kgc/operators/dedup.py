@@ -230,12 +230,18 @@ def contamination_pairs(
     """
     tsh = doc_shingles(train, k)
     bsh = doc_shingles(bench, k)
+    # explode_OUTER, not explode: plain explode makes Catalyst infer a
+    # `size(sh) > 0` filter and push it below the projection, re-deriving
+    # the ENTIRE shingle construction inside the Filter node (~2× the
+    # dominant per-row cost — seen in the r3 plan dump). doc_shingles
+    # already guarantees non-empty arrays, so outer ≡ inner here; a
+    # (impossible) null shingle would drop at the inner join anyway.
     t = tsh.select(
         F.col("id").alias("train_id"),
         F.size("sh").alias("_n_train"),
-        F.explode("sh").alias("shingle"),
+        F.explode_outer("sh").alias("shingle"),
     )
-    b = bsh.select(F.col("id").alias("bench_id"), F.explode("sh").alias("shingle"))
+    b = bsh.select(F.col("id").alias("bench_id"), F.explode_outer("sh").alias("shingle"))
     return (
         t.join(F.broadcast(b), "shingle")
         .groupBy("train_id", "bench_id", "_n_train")

@@ -128,6 +128,12 @@ class TestCuration:
         plan = plan_of(df, "simple")
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+        # explode_outer keeps the inferred size(sh)>0 filter OUT of the plan:
+        # plain explode re-derived the whole shingle construction inside the
+        # Filter node (measured 3× the warm wall). One construction per side.
+        assert plan.count("array_distinct") == 2, plan
+        filt = [ln for ln in plan.splitlines() if "Filter" in ln]
+        assert sum(ln.count("array_distinct") for ln in filt) == 0, filt
 
     def test_quota_sample_prefilters_before_window(self, spark):
         """The per-stratum rank window must consume the hash-prefix-filtered
