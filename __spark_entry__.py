@@ -1619,6 +1619,47 @@ SELECT lang, doc_id,
 FROM filt QUALIFY sample_rank <= {_CUR_QS_K}
 """
 
+_CUR_DIV_K = 8
+
+
+def q_cur_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: exact K=8 embeddings per IVF cell by md5
+    rank — flattens the cluster distribution so rare content families
+    survive curation (kgc/operators/sample.py diversity_sample; cell
+    assignment = the same md5-seeded IVF codebook the ann_ivf_topk oracle
+    reproduces)."""
+    from kgc.operators.sample import diversity_sample
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return diversity_sample(emb, k=_CUR_DIV_K, n_cells=16).select(
+        "cell", F.col("id").alias("vec_id"), "sample_rank"
+    )
+
+
+_CUR_DIV_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+),
+csim AS (
+  SELECT e.vec_id AS id, c.c_id,
+         round(list_dot_product(e.v, c.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS s
+  FROM e CROSS JOIN cent c
+),
+cells AS (
+  SELECT id, c_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, c_id ASC) AS crk FROM csim
+  ) WHERE crk = 1
+)
+SELECT cell, id AS vec_id,
+       row_number() OVER (
+         PARTITION BY cell
+         ORDER BY md5('qs:' || CAST(id AS VARCHAR)), id
+       ) AS sample_rank
+FROM cells QUALIFY sample_rank <= {_CUR_DIV_K}
+"""
+
 _CUR_PACK_BUDGET, _CUR_PACK_SHARDS = 256, 8
 
 
@@ -1850,6 +1891,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cur_decontaminate": q_cur_decontaminate,
         "cur_quota_sample": q_cur_quota_sample,
         "cur_pack_greedy": q_cur_pack_greedy,
+        "cur_diversity_sample": q_cur_diversity_sample,
         "ts_text_stats": q_ts_text_stats,
         "ts_lang_id": q_ts_lang_id,
         "ts_fingerprint": q_ts_fingerprint,
@@ -1906,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_decontaminate": _CUR_DECON_SQL,
         "cur_quota_sample": _CUR_QS_SQL,
         "cur_pack_greedy": _CUR_PACK_SQL,
+        "cur_diversity_sample": _CUR_DIV_SQL,
         "ts_text_stats": _TEXT_STATS_SQL,
         "ts_lang_id": _LANG_ID_SQL,
         "ts_fingerprint": _FINGERPRINT_SQL,

@@ -130,6 +130,7 @@ def main() -> None:
     timed("cur_decontaminate", lambda: E.q_cur_decontaminate(spark, sf_dir).count())
     timed("cur_quota_sample", lambda: E.q_cur_quota_sample(spark, sf_dir).count())
     timed("cur_pack_greedy", lambda: E.q_cur_pack_greedy(spark, sf_dir).count())
+    timed("cur_diversity_sample", lambda: E.q_cur_diversity_sample(spark, sf_dir).count())
 
     # --- curation pipeline e2e (quality→dedup→decontam→pack + ledger) ------
     from kgc.plans.curate import run_curation

@@ -151,3 +151,39 @@ def pack_greedy(
     return base.groupBy("shard_id").applyInPandas(
         _fold, "shard_id long, id long, n_tokens long, bin_id long"
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    k: int = 8,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: exact-K per IVF cell by
+    md5-rank — the embedding-space analog of quota_sample's per-language
+    quotas. Uniform hash sampling over-represents dense regions of the
+    embedding space; sampling K per coarse-quantizer cell flattens the
+    cluster distribution (the "cluster-balanced" curation step that keeps
+    rare content families in the corpus).
+
+    Scale shape: cell assignment is the MAP-ONLY broadcast-codebook ranking
+    from ivf_cells (kgc/operators/dedup.py — zero shuffle); the per-cell
+    rank window shuffles (id, cell) pairs only and Spark 4's
+    WindowGroupLimit pre-trims to K map-side. With n_cells ≈ √N the
+    stratum count grows with the corpus, so no cell-window bottlenecks.
+
+    Returns (cell, id, sample_rank), sample_rank in [1, k].
+    """
+    from pyspark.sql import Window
+
+    from kgc.operators.dedup import ivf_cells
+
+    cells = ivf_cells(emb, n_cells=n_cells, nprobe=1, id_col=id_col, vec_col=vec_col)
+    keyed = cells.select("cell", "id", _sample_key("id").alias("_key"))
+    w = Window.partitionBy("cell").orderBy(F.col("_key").asc(), F.col("id").asc())
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("cell", "id", "sample_rank")
+    )

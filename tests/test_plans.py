@@ -155,6 +155,18 @@ class TestCuration:
         # the stratum shuffle — the second half of the O(K)-window design
         assert any("WindowGroupLimit" in ln and "Partial" in ln for ln in lines), lines
 
+    def test_diversity_sample_map_only_assignment(self, spark):
+        """Cell assignment must be the map-only broadcast-codebook ranking
+        (zero shuffle); the ONLY hash exchange in the plan is the per-cell
+        rank window's, and Spark 4's partial WindowGroupLimit trims to K
+        map-side before it."""
+        import __spark_entry__ as E
+
+        plan = plan_of(E.q_cur_diversity_sample(spark, "/root/testdata/sf0.01"), "simple")
+        assert plan.count("BroadcastExchange") == 1, plan
+        assert plan.count("Exchange") == 2, plan  # broadcast + the window's
+        assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
     def test_pack_greedy_single_shuffle_pruned_scan(self, spark):
         """Packing = ONE shuffle (hash by shard_id into the grouped pandas
         fold); tokenization stays JVM-side so the scan reads only
