@@ -68,6 +68,35 @@ def write_table_iceberg(
     writer.createOrReplace()
 
 
+def write_bucketed_managed(
+    df: DataFrame,
+    name: str,
+    bucket_by: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    sort: bool = True,
+) -> None:
+    """op-02: the CO-LOCATED-JOIN half of the Iceberg seam, demonstrable
+    without the jar: Spark-native ``bucketBy`` managed tables carry
+    bucketing metadata the planner consumes, so a join between two tables
+    co-bucketed on the join key runs as a SortMergeJoin with ZERO Exchange
+    (``Bucketed: true`` scans; with ``sort=True`` the per-bucket files are
+    pre-sorted so even the Sort is cheap), and an equality filter on the
+    bucket key prunes the scan to 1/N of the files
+    (``SelectedBucketsCount: 1 out of N``). Both pinned in
+    tests/test_plans.py::TestBucketedCatalog.
+
+    This is the session-catalog rendering of what Iceberg's
+    ``PARTITIONED BY (bucket(N, c))`` + storage-partitioned joins give a
+    multi-session lake (write_table_iceberg above); write_table's
+    partition-dir fallback keeps the same FILE layout but plain parquet
+    reads cannot expose bucket metadata to the planner, so only this
+    managed form proves the no-shuffle join."""
+    w = df.write.bucketBy(n_buckets, bucket_by).format("parquet").mode("overwrite")
+    if sort:
+        w = w.sortBy(bucket_by)
+    w.saveAsTable(name)
+
+
 def write_table(
     df: DataFrame,
     path: str,

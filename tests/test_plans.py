@@ -87,6 +87,56 @@ class TestJoinQuality:
         assert "BroadcastHashJoin" in plan_of(q, "simple")
 
 
+class TestBucketedCatalog:
+    """op-02's co-located-join seam, proven without the Iceberg jar:
+    Spark-native bucketBy managed tables give the planner bucket metadata,
+    so co-bucketed joins drop the shuffle and bucket-key filters prune the
+    scan — the two properties the 10^12-doc layout story rests on."""
+
+    @pytest.fixture(scope="class")
+    def bucketed_tables(self, spark):
+        from kgc.sources.catalog import write_bucketed_managed
+
+        a = spark.range(0, 5000).select(
+            F.col("id").alias("subj"), (F.col("id") * 2).alias("va"))
+        b = spark.range(0, 5000).select(
+            F.col("id").alias("subj"), (F.col("id") * 3).alias("vb"))
+        write_bucketed_managed(a, "t_bucket_a", "subj", n_buckets=8)
+        write_bucketed_managed(b, "t_bucket_b", "subj", n_buckets=8)
+        yield "t_bucket_a", "t_bucket_b"
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+    def test_cobucketed_join_has_no_exchange(self, spark, bucketed_tables):
+        ta, tb = bucketed_tables
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table(ta).join(spark.table(tb), "subj")
+            plan = plan_of(j, "simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+
+    def test_bucket_key_filter_prunes_buckets(self, spark, bucketed_tables):
+        """autoBucketedScan (default on) DISABLES the bucketed scan when no
+        operator consumes the distribution — which also forfeits bucket
+        pruning on a point lookup. With it off, an equality filter on the
+        bucket key reads 1/N of the files (the layout's point-lookup
+        claim)."""
+        ta, _ = bucketed_tables
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "false")
+            plan = plan_of(spark.table(ta).filter(F.col("subj") == 1234), "simple")
+        finally:
+            spark.conf.set(key, old)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
 class TestBlockingKeys:
     def test_events_similar_users_blocks_on_profile_not_event_type(self, spark):
         """Round-2 scale fix: the identical-profile self-join must key on the
