@@ -62,6 +62,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KGC_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Managed-table warehouse (bucketBy co-located-join seam, op-02)
+        # defaults under /tmp so saveAsTable never writes into the repo cwd.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("KGC_WAREHOUSE_DIR", "/tmp/kgc-spark-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
