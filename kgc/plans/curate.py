@@ -79,8 +79,14 @@ def run_curation(
 
     # -- quality: score every doc, keep quality_score >= min_quality --------
     def build_quality():
-        feats = quality_features(docs)
-        return docs.join(feats.select("doc_id", "quality_score"), "doc_id")
+        # quality_features divides by length(text) (ANSI mode: /0 raises),
+        # so empty- or null-text docs — possible in media-only corpora —
+        # are scored 0.0 directly and fall to the quality reject ledger
+        # instead of crashing the stage
+        feats = quality_features(docs.filter(F.length("text") > 0))
+        return docs.join(feats.select("doc_id", "quality_score"), "doc_id", "left").withColumn(
+            "quality_score", F.coalesce("quality_score", F.lit(0.0))
+        )
 
     scored = _stage(spark, workdir, "quality", input_fp, build_quality,
                     bucket_by="doc_id", force=force)
@@ -184,11 +190,32 @@ def run_curation(
     }
 
 
+def synth_curation_docs(spark: SparkSession, sf: float) -> DataFrame:
+    """A documents-table-shaped corpus at ANY sf from the deterministic kgc
+    generator (the dedup_recall_eval recipe): spans flattened to text,
+    numeric doc_id parsed from the generator id, lang derived by hash —
+    no external data, so the 1M-doc robustness evidence reproduces with
+    one command (--synth)."""
+    from kgc.sources.synth import synth_documents
+
+    langs = "array('en','zh','es','de','fr')"
+    return synth_documents(spark, sf).select(
+        F.regexp_extract("doc_id", r"(\d+)", 1).cast("long").alias("doc_id"),
+        F.array_join(
+            F.expr("transform(spans, s -> coalesce(s.text, ''))"), " "
+        ).alias("text"),
+        F.expr(f"element_at({langs}, cast(pmod(xxhash64(42, doc_id), 5) as int) + 1)").alias("lang"),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.01)
     ap.add_argument("--sf-dir", default=None,
                     help="documents.parquet directory (default /root/testdata/sf<sf>)")
+    ap.add_argument("--synth", action="store_true",
+                    help="synthesize the corpus at --sf instead of reading --sf-dir "
+                         "(scale probes beyond the driver tables)")
     ap.add_argument("--workdir", default="/tmp/kgc_curate")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--min-quality", type=float, default=0.1)
@@ -201,11 +228,22 @@ def main() -> None:
     from kgc.session import get_spark
 
     spark = get_spark(app_name=f"kgc-curate-sf{args.sf}", cpus=args.cpus)
-    sf_dir = args.sf_dir or f"/root/testdata/sf{args.sf:g}"
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if args.synth:
+        import tempfile
+
+        # materialize once so every stage reads parquet, not the generator
+        synth_dir = os.path.join(tempfile.gettempdir(), f"kgc_curate_synth_sf{args.sf:g}")
+        if not os.path.isdir(synth_dir):
+            synth_curation_docs(spark, args.sf).write.mode("overwrite").parquet(synth_dir)
+        docs = spark.read.parquet(synth_dir)
+        fp = f"synth-curate-sf{args.sf:g}"
+    else:
+        sf_dir = args.sf_dir or f"/root/testdata/sf{args.sf:g}"
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        fp = f"docs-{sf_dir}"
     t0 = time.time()
     tables = run_curation(
-        spark, args.workdir, docs, input_fp=f"docs-{sf_dir}",
+        spark, args.workdir, docs, input_fp=fp,
         min_quality=args.min_quality, quota=args.quota, budget=args.budget,
         force=args.force,
     )
