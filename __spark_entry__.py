@@ -1576,15 +1576,19 @@ def q_cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs.filter(~is_bench), docs.filter(is_bench))
 
 
+_CUR_DECON_MAX_DF = 64  # stop-shingle cap, mirrored from contamination_pairs
+
 _CUR_DECON_SQL = f"""
 WITH {_CUR_SH_CTE},
 t AS (SELECT doc_id AS train_id, len(sh) AS n_train, unnest(sh) AS shingle
       FROM sh WHERE doc_id % {_CUR_BENCH_MOD} <> 0),
 b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle
-      FROM sh WHERE doc_id % {_CUR_BENCH_MOD} = 0)
+      FROM sh WHERE doc_id % {_CUR_BENCH_MOD} = 0),
+bkeep AS (SELECT shingle FROM b GROUP BY shingle HAVING count(*) <= {_CUR_DECON_MAX_DF}),
+b2 AS (SELECT b.bench_id, b.shingle FROM b JOIN bkeep USING (shingle))
 SELECT train_id, bench_id, count(*) AS n_common,
        round(CAST(count(*) AS DOUBLE) / n_train, 6) AS containment
-FROM t JOIN b USING (shingle)
+FROM t JOIN b2 USING (shingle)
 GROUP BY train_id, bench_id, n_train
 HAVING count(*) >= 2
 """

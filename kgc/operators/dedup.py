@@ -209,7 +209,11 @@ def jaccard_pairs_bruteforce(
 
 
 def contamination_pairs(
-    train: DataFrame, bench: DataFrame, k: int = 3, min_overlap: int = 2
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    min_overlap: int = 2,
+    max_bench_df: int | None = 64,
 ) -> DataFrame:
     """Test-set decontamination: (train_id, bench_id) pairs whose word
     k-shingle sets overlap — the standard n-gram-overlap check a training
@@ -218,12 +222,20 @@ def contamination_pairs(
     Scale shape: eval sets are SMALL relative to the corpus (thousands of
     benchmark docs vs billions of training docs), so the exploded benchmark
     shingle table is broadcast and the train side streams through a
-    map-side hash join — no shuffle of the 100-TB side, no blocking-key
-    skew (the join key is the shingle string itself; a stop-shingle cap
-    could be added like the minhash hot-bucket cap if a template shingle
-    ever dominates). `containment` = |overlap| / |train shingle set| is
-    the asymmetric score that matters for contamination (how much of the
-    training doc is benchmark material).
+    map-side hash join — no shuffle of the 100-TB side. `containment` =
+    |overlap| / |train shingle set| is the asymmetric score that matters
+    for contamination (how much of the training doc is benchmark material).
+
+    ``max_bench_df`` is the STOP-SHINGLE cap, and it is load-bearing: the
+    join emits train_df(s) × bench_df(s) rows per shingle, so one template
+    shingle shared by 10^5 train docs and 10^4 bench docs is a 10^9-row
+    hot key (measured: the 1M-doc template-heavy synth corpus ran its
+    decontam stage >11 min before being killed; capped it completes).
+    Dropping benchmark shingles with document frequency > C bounds the
+    join output by C × (train shingle stream) — LINEAR — and is applied to
+    the broadcast side only, so the big side stays untouched. Semantically
+    it is IDF pruning: an n-gram occurring in >C benchmark docs is boiler-
+    plate, not contamination evidence. The DuckDB oracle mirrors the cap.
 
     Returns (train_id, bench_id, n_common, containment) for pairs with
     n_common >= min_overlap.
@@ -242,6 +254,11 @@ def contamination_pairs(
         F.explode_outer("sh").alias("shingle"),
     )
     b = bsh.select(F.col("id").alias("bench_id"), F.explode_outer("sh").alias("shingle"))
+    if max_bench_df is not None:
+        dfc = b.groupBy("shingle").agg(F.count("*").alias("_df"))
+        b = b.join(
+            dfc.filter(F.col("_df") <= max_bench_df).drop("_df"), "shingle", "left_semi"
+        )
     return (
         t.join(F.broadcast(b), "shingle")
         .groupBy("train_id", "bench_id", "_n_train")

@@ -180,8 +180,11 @@ class TestCuration:
         assert "SortMergeJoin" not in plan, plan
         # explode_outer keeps the inferred size(sh)>0 filter OUT of the plan:
         # plain explode re-derived the whole shingle construction inside the
-        # Filter node (measured 3× the warm wall). One construction per side.
-        assert plan.count("array_distinct") == 2, plan
+        # Filter node (measured 3× the warm wall). Exactly 3 constructions:
+        # one train-side, two bench-side (the stop-shingle df agg + the
+        # semi-join probe — both over the eval-set-sized table, irrelevant
+        # next to the corpus side), and NONE inside a Filter.
+        assert plan.count("array_distinct") == 3, plan
         filt = [ln for ln in plan.splitlines() if "Filter" in ln]
         assert sum(ln.count("array_distinct") for ln in filt) == 0, filt
 
