@@ -1826,6 +1826,29 @@ FROM bands a JOIN bands b
 """
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-44 × op-50: incremental test-set decontamination — the document
+    stream joins a static broadcast benchmark-shingle dim per micro-batch
+    (kgc/streaming/dedup.py streaming_decontam). Per-doc STATELESS, so the
+    accumulated pairs equal the batch operator exactly for any batch
+    boundaries; oracle = the batch decontamination SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgc.streaming.dedup import streaming_decontam
+
+    tmp = tempfile.mkdtemp(prefix="kgc_stream_decontam_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    is_bench = F.pmod(F.col("doc_id"), F.lit(_CUR_BENCH_MOD)) == 0
+    return streaming_decontam(
+        spark, _t(sf_dir, "documents"), docs.filter(is_bench),
+        os.path.join(tmp, "pairs"), os.path.join(tmp, "ckpt"),
+        max_bench_df=_CUR_DECON_MAX_DF, train_filter=~is_bench,
+    )
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1-day windows with watermark over the
     events table (file source drives the stream to completion); oracle is
@@ -1905,6 +1928,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_construct_triples": q_stream_construct_triples,
         "stream_dedup_registry": q_stream_dedup_registry,
         "stream_neardup_pairs": q_stream_neardup_pairs,
+        "stream_decontaminate": q_stream_decontaminate,
     }
 
 
@@ -1962,4 +1986,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_construct_triples": _TRIPLES_SQL,
         "stream_dedup_registry": _DD_EXACT_SQL,
         "stream_neardup_pairs": _STREAM_NEARDUP_SQL,
+        "stream_decontaminate": _CUR_DECON_SQL,
     }

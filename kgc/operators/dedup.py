@@ -208,6 +208,24 @@ def jaccard_pairs_bruteforce(
     )
 
 
+def bench_shingles_exploded(
+    bench: DataFrame, k: int = 3, max_bench_df: int | None = 64
+) -> DataFrame:
+    """(bench_id, shingle) — the benchmark side of the decontamination
+    join, with the stop-shingle DF cap applied (see contamination_pairs
+    for why the cap is load-bearing). Shared by the batch operator and the
+    streaming twin (kgc/streaming/dedup.streaming_decontam), so both
+    apply the identical bench-side rule."""
+    bsh = doc_shingles(bench, k)
+    b = bsh.select(F.col("id").alias("bench_id"), F.explode_outer("sh").alias("shingle"))
+    if max_bench_df is not None:
+        dfc = b.groupBy("shingle").agg(F.count("*").alias("_df"))
+        b = b.join(
+            dfc.filter(F.col("_df") <= max_bench_df).drop("_df"), "shingle", "left_semi"
+        )
+    return b
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,
@@ -226,7 +244,8 @@ def contamination_pairs(
     |overlap| / |train shingle set| is the asymmetric score that matters
     for contamination (how much of the training doc is benchmark material).
 
-    ``max_bench_df`` is the STOP-SHINGLE cap, and it is load-bearing: the
+    ``max_bench_df`` (applied via bench_shingles_exploded, shared with the
+    streaming twin) is the STOP-SHINGLE cap, and it is load-bearing: the
     join emits train_df(s) × bench_df(s) rows per shingle, so one template
     shingle shared by 10^5 train docs and 10^4 bench docs is a 10^9-row
     hot key (measured: the 1M-doc template-heavy synth corpus ran its
@@ -241,7 +260,6 @@ def contamination_pairs(
     n_common >= min_overlap.
     """
     tsh = doc_shingles(train, k)
-    bsh = doc_shingles(bench, k)
     # explode_OUTER, not explode: plain explode makes Catalyst infer a
     # `size(sh) > 0` filter and push it below the projection, re-deriving
     # the ENTIRE shingle construction inside the Filter node (~2× the
@@ -253,12 +271,7 @@ def contamination_pairs(
         F.size("sh").alias("_n_train"),
         F.explode_outer("sh").alias("shingle"),
     )
-    b = bsh.select(F.col("id").alias("bench_id"), F.explode_outer("sh").alias("shingle"))
-    if max_bench_df is not None:
-        dfc = b.groupBy("shingle").agg(F.count("*").alias("_df"))
-        b = b.join(
-            dfc.filter(F.col("_df") <= max_bench_df).drop("_df"), "shingle", "left_semi"
-        )
+    b = bench_shingles_exploded(bench, k, max_bench_df)
     return (
         t.join(F.broadcast(b), "shingle")
         .groupBy("train_id", "bench_id", "_n_train")

@@ -277,3 +277,98 @@ def streaming_near_dedup(
     )
     q.awaitTermination()
     return read_candidate_pairs(spark, pairs_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination (op-44 × op-50)
+# ---------------------------------------------------------------------------
+
+
+def read_contamination_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Accumulated (train_id, bench_id, n_common, containment) rows.
+    distinct() absorbs at-least-once replays (replayed rows are
+    byte-identical, keyed by batch_id before the projection)."""
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame(
+            [], "train_id long, bench_id long, n_common long, containment double"
+        )
+    return (
+        spark.read.parquet(pairs_dir)
+        .select("train_id", "bench_id", "n_common", "containment")
+        .distinct()
+    )
+
+
+def streaming_decontam(
+    spark: SparkSession,
+    docs_path: str,
+    bench: DataFrame,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    min_overlap: int = 2,
+    max_bench_df: int | None = 64,
+    train_filter=None,
+    query_name: str = "kgc_stream_decontam",
+) -> DataFrame:
+    """Incremental test-set decontamination — the streaming twin of
+    contamination_pairs, completing the streaming curation trio
+    (exact dedup + near-dup + decontam).
+
+    The benchmark dim is STATIC by definition (a held-out eval set is
+    frozen while a corpus streams in), so its capped exploded shingle
+    table is computed ONCE (bench_shingles_exploded — identical bench-side
+    rule as the batch operator, stop-shingle cap included), materialized
+    with localCheckpoint, and broadcast into every micro-batch join.
+    Decontamination is per-document STATELESS — a train doc's pairs depend
+    only on its own shingles and the static dim — so the accumulated pair
+    set equals the batch operator EXACTLY for any arrival order or batch
+    boundaries (no registry, no cross-batch state at all). Appended rows
+    carry batch_id, making replays byte-identical; the read side dedups
+    with distinct.
+
+    ``train_filter``: optional Column predicate selecting which streamed
+    docs are training docs (e.g. excluding the benchmark slice itself when
+    both stream from the same table).
+    """
+    from kgc.operators.dedup import bench_shingles_exploded, doc_shingles
+    from kgc.streaming.touches import _read_stream
+
+    b = bench_shingles_exploded(bench, k, max_bench_df).localCheckpoint(eager=True)
+    docs = _read_stream(spark, docs_path).select("doc_id", "text")
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(train_filter) if train_filter is not None else batch_df
+        tsh = doc_shingles(batch, k)
+        t = tsh.select(
+            F.col("id").alias("train_id"),
+            F.size("sh").alias("_n_train"),
+            F.explode_outer("sh").alias("shingle"),
+        )
+        pairs = (
+            t.join(F.broadcast(b), "shingle")
+            .groupBy("train_id", "bench_id", "_n_train")
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_overlap)
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "train_id",
+                "bench_id",
+                "n_common",
+                F.round(F.col("n_common") / F.col("_n_train"), 6).alias("containment"),
+            )
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+    return read_contamination_pairs(spark, pairs_dir)

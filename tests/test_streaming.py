@@ -370,3 +370,31 @@ class TestStreamingDedupReplay:
         _neardup_merge_batch(spark, docs, 0, post, pairs)  # replay
         p_after = sorted(map(tuple, read_candidate_pairs(spark, pairs).collect()))
         assert p_before == p_after
+
+
+class TestStreamingDecontam:
+    def test_two_chunk_pairs_equal_batch_operator(self, spark, tmp_path):
+        """Streaming decontamination across two file arrivals must equal
+        the batch contamination_pairs output exactly — per-doc stateless,
+        so batch boundaries cannot matter; this pins it."""
+        from kgc.operators.dedup import contamination_pairs
+        from kgc.streaming.dedup import streaming_decontam
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        is_bench = F.pmod(F.col("doc_id"), F.lit(23)) == 0
+        bench = docs.filter(is_bench)
+        ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        cut = ids[len(ids) // 2]
+        stream_dir = str(tmp_path / "docs")
+        pairs_dir = str(tmp_path / "pairs")
+        ckpt = str(tmp_path / "ckpt")
+        docs.filter(F.col("doc_id") >= cut).write.mode("append").parquet(stream_dir)
+        streaming_decontam(spark, stream_dir, bench, pairs_dir, ckpt,
+                           train_filter=~is_bench)
+        docs.filter(F.col("doc_id") < cut).write.mode("append").parquet(stream_dir)
+        got = streaming_decontam(spark, stream_dir, bench, pairs_dir, ckpt,
+                                 train_filter=~is_bench)
+
+        want = contamination_pairs(docs.filter(~is_bench), bench)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert got.count() > 0
