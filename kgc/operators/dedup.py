@@ -454,12 +454,46 @@ def ann_topk_lsh(
 # ---------------------------------------------------------------------------
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 42,
+) -> list:
+    """Spherical k-means|| codebook for ivf_cells: vectors are L2-normalized
+    (on the unit sphere, Euclidean k-means ≈ cosine clustering) and
+    clustered with pyspark.ml KMeans. Returns [(c_id, [float...]), ...].
+
+    This is the TRAINED alternative to ivf_cells' md5-sampled codebook —
+    same index structure, better-shaped cells (measured: recall 0.846 →
+    see BENCH §4 for the trained point at equal nprobe). Training is an
+    OFFLINE index-build step: seeded and reproducible run-to-run on the
+    same layout, but float aggregation order makes it bit-nondeterministic
+    across partitionings, so trained codebooks stay OUT of the oracle gate
+    (the md5-sampled default remains the pinned bit-exact path)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+    )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    train = emb.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_cells(
     emb: DataFrame,
     n_cells: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest coarse
     centroid (its *cell*) and list the `nprobe` nearest cells to probe at
@@ -486,11 +520,22 @@ def ivf_cells(
     sq_norm = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
     )
-    cent = (
-        e.orderBy(F.md5(F.col("id").cast("string")))
-        .limit(n_cells)
-        .select(F.col("id").alias("c_id"), F.col("v").alias("cv"), F.sqrt(sq_norm("v")).alias("cn"))
-    )
+    if centroids is not None:
+        # caller-supplied codebook (e.g. train_ivf_centroids) as plan
+        # literals — same assignment machinery, non-gate (see trainer note)
+        cent = emb.sparkSession.createDataFrame(
+            [(int(c_id), [float(x) for x in cv]) for c_id, cv in centroids],
+            "c_id long, cv array<double>",
+        ).select("c_id", "cv", F.sqrt(sq_norm("cv")).alias("cn"))
+    else:
+        cent = (
+            e.orderBy(F.md5(F.col("id").cast("string")))
+            .limit(n_cells)
+            .select(
+                F.col("id").alias("c_id"), F.col("v").alias("cv"),
+                F.sqrt(sq_norm("v")).alias("cn"),
+            )
+        )
     # One-row codebook; collect_list order is irrelevant (re-sorted per row).
     codebook = cent.agg(F.collect_list(F.struct("c_id", "cv", "cn")).alias("cents"))
     rows = (
@@ -532,6 +577,7 @@ def ann_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF-Flat index — the
     partition-pruned alternative to the SRP-LSH scale path (ann_topk_lsh):
@@ -556,7 +602,7 @@ def ann_topk_ivf(
     """
     from pyspark.sql import Window
 
-    cells = ivf_cells(emb, n_cells, nprobe, id_col, vec_col)
+    cells = ivf_cells(emb, n_cells, nprobe, id_col, vec_col, centroids=centroids)
     data = cells.select(
         F.col("id").alias("vec_id"), F.col("v").alias("dv"), F.col("vn").alias("dn"), "cell"
     )
