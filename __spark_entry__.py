@@ -1139,6 +1139,40 @@ SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, prev_eve
 WHERE event_type = 'purchase'
 """
 
+def q_gr_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics op-56: per-node triangle counts over the co-order
+    part graph via degree-ordered orientation (compact-forward — hub-proof
+    wedge joins; kgc/operators/graph.py). Integer-exact, so the oracle is
+    the identical construction in SQL."""
+    from kgc.operators.graph import co_order_edges, triangle_counts
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return triangle_counts(co_order_edges(li))
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS u,
+         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS v
+  FROM e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+),
+w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM o e1 JOIN o e2 ON e1.v = e2.u),
+t AS (SELECT a, b, c FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.a AND o.v = w.c))
+SELECT node, count(*) AS n_tri FROM (SELECT unnest([a, b, c]) AS node FROM t)
+GROUP BY node
+"""
+
 _QUANT_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1905,6 +1939,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rel_from_json_events": q_rel_from_json_events,
         "rel_asof_last_event": q_rel_asof_last_event,
         "rel_quantiles_lineitem": q_rel_quantiles_lineitem,
+        "gr_triangle_counts": q_gr_triangle_counts,
         "dd_exact_hash": q_dd_exact_hash,
         "dd_minhash_buckets": q_dd_minhash_buckets,
         "dd_minhash_banded": q_dd_minhash_banded,
@@ -1963,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_from_json_events": _FROM_JSON_SQL,
         "rel_asof_last_event": _ASOF_SQL,
         "rel_quantiles_lineitem": _QUANTILES_SQL,
+        "gr_triangle_counts": _TRIANGLES_SQL,
         "dd_exact_hash": _DD_EXACT_SQL,
         "dd_minhash_buckets": _DD_MINHASH_SQL,
         "dd_minhash_banded": _DD_MINHASH_BANDED_SQL,

@@ -1,0 +1,75 @@
+"""Graph analytics beyond connected components (op-56): triangle counting
+with degree-ordered orientation — the compact-forward algorithm rendered
+as three DataFrame joins.
+
+Semantics (pinned, mirrored in the DuckDB oracle): the input is an
+UNDIRECTED simple graph as (src < dst) edge rows. Each edge is oriented
+from the endpoint with the smaller (degree, id) key to the larger; a
+triangle {a,b,c} then exists as exactly ONE oriented wedge a→b→c with a→c
+present, so the count is exact with no division by 3. Per-node counts
+attribute each triangle to all three corners.
+
+Why orientation matters at scale: the naive wedge join fans out by
+Σ deg(v)² — a hub with 10^6 neighbors contributes 10^12 wedges. Orienting
+by degree bounds every node's OUT-degree by O(√|E|) (a classic arboricity
+bound), so the wedge join is O(|E|^1.5) worst-case and hub-proof — the
+same reason the similarity family blocks and salts its self-joins. The
+two joins key on node ids (shuffle by node), and the final existence
+check is a semi-join on the oriented edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_order_edges(lineitem: DataFrame) -> DataFrame:
+    """(src < dst) part pairs co-occurring in at least one order — the
+    bipartite projection that serves as the demo graph. Pair generation is
+    bounded per order (C(items,2), single-digit for TPC-H-ish orders), the
+    analog of the similarity family's per-activity pair bound."""
+    a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_tri) for every node in at least one triangle.
+
+    edges: undirected simple graph, one (src < dst) row per edge.
+    """
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("_ds"))
+    d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("_dd"))
+    with_deg = edges.join(d1, "src").join(d2, "dst")
+    fwd = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
