@@ -1173,6 +1173,54 @@ SELECT node, count(*) AS n_tri FROM (SELECT unnest([a, b, c]) AS node FROM t)
 GROUP BY node
 """
 
+_PR_ITERS, _PR_SCALE, _PR_DAMP = 5, 10**12, 85
+
+
+def q_gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics op-57: fixed-point integer PageRank over the
+    co-order part graph — an ITERATIVE algorithm in the bit-exact gate
+    (floor division is the one arithmetic both engines define identically;
+    the oracle unrolls the 5 iterations as chained CTEs).
+    kgc/operators/graph.py pagerank_fixedpoint."""
+    from kgc.operators.graph import co_order_edges, pagerank_fixedpoint
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return pagerank_fixedpoint(
+        co_order_edges(li), iters=_PR_ITERS, scale=_PR_SCALE, damping_pct=_PR_DAMP
+    )
+
+
+def _pagerank_sql() -> str:
+    tele = f"(({100 - _PR_DAMP} * (SELECT base FROM params)) // 100)"
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+b2 AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src AS node, count(*) AS deg FROM b2 GROUP BY src),
+params AS (SELECT ({_PR_SCALE} // count(*)) AS base FROM deg),
+pr0 AS (SELECT node, (SELECT base FROM params) AS pr_int, deg FROM deg)"""]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+pr{i} AS (
+  SELECT d.node,
+         {tele} + (({_PR_DAMP} * coalesce(s._sum, 0)) // 100) AS pr_int,
+         d.deg
+  FROM deg d LEFT JOIN (
+    SELECT b2.dst AS node, sum(p.pr_int // p.deg) AS _sum
+    FROM b2 JOIN pr{i - 1} p ON p.node = b2.src GROUP BY b2.dst
+  ) s ON s.node = d.node
+)""")
+    parts.append(
+        f"\nSELECT node, CAST(pr_int AS BIGINT) AS pr_int FROM pr{_PR_ITERS}"
+    )
+    return "".join(parts)
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
 _QUANT_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -1940,6 +1988,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rel_asof_last_event": q_rel_asof_last_event,
         "rel_quantiles_lineitem": q_rel_quantiles_lineitem,
         "gr_triangle_counts": q_gr_triangle_counts,
+        "gr_pagerank": q_gr_pagerank,
         "dd_exact_hash": q_dd_exact_hash,
         "dd_minhash_buckets": q_dd_minhash_buckets,
         "dd_minhash_banded": q_dd_minhash_banded,
@@ -1999,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_asof_last_event": _ASOF_SQL,
         "rel_quantiles_lineitem": _QUANTILES_SQL,
         "gr_triangle_counts": _TRIANGLES_SQL,
+        "gr_pagerank": _PAGERANK_SQL,
         "dd_exact_hash": _DD_EXACT_SQL,
         "dd_minhash_buckets": _DD_MINHASH_SQL,
         "dd_minhash_banded": _DD_MINHASH_BANDED_SQL,

@@ -73,3 +73,62 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame, iters: int = 5, scale: int = 10**12, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over the undirected graph (each edge walked both ways) in
+    FIXED-POINT integer arithmetic — op-57's iterative-algorithm surface
+    with a bit-exact oracle.
+
+    Floating-point PageRank can never gate bit-exactly (summation order
+    differs per engine/partitioning), so every quantity here is a scaled
+    integer with floor division, which Spark and DuckDB evaluate
+    identically (the same trick as the decimal-exact attribution sums):
+
+        pr_0(v)   = scale // N
+        contrib_i(v) = Σ_{u ~ v} pr_i(u) // deg(u)
+        pr_{i+1}(v) = ((100-d)·(scale // N)) // 100 + (d·contrib_i(v)) // 100
+
+    Fixed `iters` (the oracle unrolls them as chained CTEs — deterministic
+    iteration count, no convergence test to disagree on). Scale shape per
+    iteration: one join edges⋈scores (shuffle by node) + one groupBy —
+    identical to the CC round pattern; lineage is cut per round with
+    localCheckpoint like connected_components.
+
+    Returns (node, pr_int) — pr_int/scale ≈ the damped PageRank score.
+    """
+    both = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    n = deg.count()
+    base = scale // n
+    teleport = ((100 - damping_pct) * base) // 100
+    pr = deg.select("node", F.lit(base).cast("long").alias("pr_int"), "deg")
+    for _ in range(iters):
+        contrib = (
+            # `div`, NEVER `/`: longs under `/` go through DOUBLE division,
+            # whose rounding can land past the true floor — `div` is the
+            # integral operator both engines (Spark div, DuckDB //) define
+            # identically
+            both.join(
+                pr.select(F.col("node").alias("src"),
+                          F.expr("pr_int div deg").alias("_c")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        pr = (
+            deg.join(contrib, "node", "left")
+            .withColumn("_sum", F.coalesce(F.col("_sum"), F.lit(0)))
+            .select(
+                "node",
+                (F.lit(teleport) + F.expr(f"({damping_pct} * _sum) div 100")).alias("pr_int"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node", "pr_int")

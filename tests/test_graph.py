@@ -49,3 +49,24 @@ class TestTriangles:
         oriented = wd.select(F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"))
         hub_out = oriented.filter(F.col("u") == 0).count()
         assert hub_out == 0  # every leaf points AT the hub, never from it
+
+
+class TestPageRank:
+    def test_star_center_ranks_highest_and_leaves_tie(self, spark):
+        from kgc.operators.graph import pagerank_fixedpoint
+
+        star = [(0, i) for i in range(1, 9)]
+        pr = {r["node"]: r["pr_int"]
+              for r in pagerank_fixedpoint(_edges(spark, star), iters=5).collect()}
+        assert pr[0] == max(pr.values())
+        assert len({pr[i] for i in range(1, 9)}) == 1  # symmetric leaves agree
+        # damped mass stays bounded by the scale
+        assert 0 < sum(pr.values()) <= 10**12
+
+    def test_regular_graph_is_uniform(self, spark):
+        from kgc.operators.graph import pagerank_fixedpoint
+
+        cycle = [(i, (i + 1) % 6) for i in range(6)]
+        pr = {r["node"]: r["pr_int"]
+              for r in pagerank_fixedpoint(_edges(spark, cycle), iters=5).collect()}
+        assert len(set(pr.values())) == 1  # 2-regular: exactly uniform
