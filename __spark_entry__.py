@@ -1173,6 +1173,62 @@ SELECT node, count(*) AS n_tri FROM (SELECT unnest([a, b, c]) AS node FROM t)
 GROUP BY node
 """
 
+def q_rel_window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window kit in one gate row: lead/lag, ntile, percent_rank,
+    cume_dist, nth_value — the ranking/analytic functions rel_topk and
+    rel_running_total don't already cover. percent_rank/cume_dist are
+    exact small-integer ratios, so the doubles agree bit-for-bit."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("second_order"),
+    )
+
+
+_WINDOW_KIT_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       nth_value(o_orderkey, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_rel_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) surface: wide order columns to (orderkey, metric,
+    value) long form via stack — the inverse of rel_pivot_orders."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, "
+            "'custkey', cast(o_custkey as double)) AS (metric, value)"
+        ),
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+"""
+
 _PR_ITERS, _PR_SCALE, _PR_DAMP = 5, 10**12, 85
 
 
@@ -1989,6 +2045,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rel_quantiles_lineitem": q_rel_quantiles_lineitem,
         "gr_triangle_counts": q_gr_triangle_counts,
         "gr_pagerank": q_gr_pagerank,
+        "rel_window_kit": q_rel_window_kit,
+        "rel_unpivot_orders": q_rel_unpivot_orders,
         "dd_exact_hash": q_dd_exact_hash,
         "dd_minhash_buckets": q_dd_minhash_buckets,
         "dd_minhash_banded": q_dd_minhash_banded,
@@ -2049,6 +2107,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_quantiles_lineitem": _QUANTILES_SQL,
         "gr_triangle_counts": _TRIANGLES_SQL,
         "gr_pagerank": _PAGERANK_SQL,
+        "rel_window_kit": _WINDOW_KIT_SQL,
+        "rel_unpivot_orders": _UNPIVOT_SQL,
         "dd_exact_hash": _DD_EXACT_SQL,
         "dd_minhash_buckets": _DD_MINHASH_SQL,
         "dd_minhash_banded": _DD_MINHASH_BANDED_SQL,
