@@ -173,7 +173,7 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IND_RE = r"(I-\d{4}|ind_\d{4}|Individual #\d+)"
+_IND_RE = r"(I-\d{4,}|ind_\d{4,}|Individual #\d+)"  # {4,} mirrors kgc/operators/extract.py IND
 _TS_RE = r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)"
 
 # char offsets: mt = the full match text (group 0); with the ≤1-match-per-

@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from kgc.schemas import MENTION, MENTIONS
 
-IND = r"(?:I-\d{4}|ind_\d{4}|Individual #\d+)"
+IND = r"(?:I-\d{4,}|ind_\d{4,}|Individual #\d+)"  # {4,}: widths scale past 10k individuals (synth.ind_width)
 TS = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"
 
 # group-name → MENTION column; absent groups come back NaN → None.

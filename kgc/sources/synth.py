@@ -61,6 +61,17 @@ def n_individuals_for(sf: float) -> int:
     return max(200, round(20_000 * sf))
 
 
+def ind_width(n_ind: int) -> int:
+    """Digit width for individual ids/surfaces: 4 up to 10k individuals
+    (every committed fixture and oracle regex), growing with the id space
+    beyond that. Spark/DuckDB `lpad` TRUNCATES strings longer than the pad
+    width — with a fixed 4, every individual ≥ 10000 collapsed onto the
+    0000–9999 ids (found by the r3 sf10 probe: 200k intended individuals
+    → exactly 10,000 distinct canonical ids, every activity 'touched by
+    >50% of individuals', stop-list = all 500 acts, SIMILAR_TO empty)."""
+    return max(4, len(str(max(n_ind - 1, 0))))
+
+
 def _h(*cols) -> Column:
     """Deterministic 64-bit hash of (SEED, *cols)."""
     return F.xxhash64(F.lit(SEED), *[c if isinstance(c, Column) else F.lit(c) for c in cols])
@@ -95,7 +106,7 @@ def _span_fields(d: Column, s: Column, n_ind: int) -> dict[str, Column]:
     ts_str = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
     # --- surfaces ----------------------------------------------------------
-    ind4 = F.lpad(ind.cast("string"), 4, "0")
+    ind4 = F.lpad(ind.cast("string"), ind_width(n_ind), "0")
     alias_form = _pm(_h(d, s, "alias"), 3)
     ind_surface = (
         F.when(alias_form == 0, F.concat(F.lit("I-"), ind4))
@@ -167,7 +178,7 @@ def _span_fields(d: Column, s: Column, n_ind: int) -> dict[str, Column]:
         "text": text,
         "media_ref": media_ref,
         "tmpl": tmpl,
-        "ind_id": F.format_string("ind-%04d", ind),
+        "ind_id": F.format_string(f"ind-%0{ind_width(n_ind)}d", ind),
         "act_id": act_surface,
         "cmp_id": F.when(tmpl == "conversion", cmp_conv_surface).otherwise(cmp_touch_surface),
         "prd_id": prd_surface,
@@ -278,7 +289,7 @@ def alias_catalog(spark: SparkSession, sf: float) -> DataFrame:
     """
     n_ind = n_individuals_for(sf)
     ind = spark.range(n_ind).select(F.col("id").alias("n"))
-    ind4 = F.lpad(F.col("n").cast("string"), 4, "0")
+    ind4 = F.lpad(F.col("n").cast("string"), ind_width(n_ind), "0")
     canon = F.concat(F.lit("ind-"), ind4)
     individuals = ind.select(
         F.explode(

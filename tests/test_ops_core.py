@@ -439,3 +439,46 @@ class TestTimeDecay:
         assert w["act-001"] == pytest.approx(0.5 / total)
         assert w["act-002"] == pytest.approx(0.25 / total)
         assert sum(w.values()) == pytest.approx(1.0)
+
+
+class TestIndWidth:
+    """r3 sf10 finding: lpad TRUNCATES beyond its width, so a fixed 4-digit
+    individual format collapsed every id >= 10000 — 200k intended
+    individuals became exactly 10,000 canonical ids and the similarity
+    stop-list (correctly) stopped all 500 activities. ind_width grows the
+    format with the id space and stays 4 for every committed fixture."""
+
+    def test_width_function(self):
+        from kgc.sources.synth import ind_width
+
+        assert ind_width(200) == 4
+        assert ind_width(2_000) == 4
+        assert ind_width(10_000) == 4      # max id 9999 — fixture width
+        assert ind_width(10_001) == 5
+        assert ind_width(200_000) == 6
+
+    def test_catalog_id_space_scales_past_10k(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgc.sources.synth import alias_catalog, n_individuals_for
+
+        sf = 0.6  # n_ind = 12,000 — the first size the old format collapsed
+        n_ind = n_individuals_for(sf)
+        assert n_ind == 12_000
+        cat = alias_catalog(spark, sf).filter(F.col("entity_type") == "individual")
+        n_canon = (
+            cat.select(F.regexp_replace("entity_id", "#a[12]$", "").alias("c"))
+            .distinct().count()
+        )
+        assert n_canon == n_ind, n_canon
+        # surfaces stay injective too (no two individuals share a surface)
+        assert cat.select("surface_key").distinct().count() == 3 * n_ind
+
+    def test_gate_scale_formats_unchanged(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgc.sources.synth import alias_catalog
+
+        cat = alias_catalog(spark, 0.01).filter(F.col("entity_type") == "individual")
+        row = cat.filter(F.col("surface_key") == "i 0042").collect()
+        assert row and row[0]["entity_id"] == "ind-0042"  # width-4 as committed
