@@ -1283,15 +1283,18 @@ _QUANT_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
 def q_rel_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distribution quantiles per group (op-53): Spark's exact
     `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
-    definition (pos = p·(n−1)) and agree BIT-FOR-BIT on raw doubles
-    (verified on this corpus — no rounding applied). Exact percentile sorts
-    each group, so at 100 TB the production path is `approx_percentile`
+    definition (pos = p·(n−1)); per the repo's §2.4 rule for rank-bearing
+    doubles both sides ROUND to 6 decimals before compare (ADVICE r3: raw
+    interpolated doubles happened to agree bit-for-bit on this corpus, but
+    that relied on both engines sharing the exact interpolation expression
+    form — fragile across engine versions). Exact percentile sorts each
+    group, so at 100 TB the production path is `approx_percentile`
     (KLL-style mergeable sketch, partial-aggregatable); its error bound vs
     this exact spec is pinned in tests/test_sketches.py."""
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         *[
-            F.percentile("l_extendedprice", F.lit(p)).alias(f"q{int(p * 100)}")
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(f"q{int(p * 100)}")
             for p in _QUANT_PS
         ],
         F.count("*").alias("n_rows"),
@@ -1300,7 +1303,9 @@ def q_rel_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANTILES_SQL = (
     "SELECT l_returnflag, "
-    + ", ".join(f"quantile_cont(l_extendedprice, {p}) AS q{int(p * 100)}" for p in _QUANT_PS)
+    + ", ".join(
+        f"round(quantile_cont(l_extendedprice, {p}), 6) AS q{int(p * 100)}" for p in _QUANT_PS
+    )
     + ", count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
 )
 
@@ -1821,7 +1826,7 @@ def q_cur_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUR_PACK_SQL = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id % {_CUR_PACK_SHARDS} AS shard_id, doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         coalesce(len(string_split_regex(trim(text), '\\s+')), 0) AS n_tokens,
          row_number() OVER (PARTITION BY doc_id % {_CUR_PACK_SHARDS} ORDER BY doc_id) AS rn
   FROM documents
 ),

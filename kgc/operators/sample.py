@@ -106,12 +106,16 @@ def greedy_bins(tokens: list[int], budget: int) -> list[int]:
     return out
 
 
+PACK_TARGET_ROWS_PER_SHARD = 10_000_000
+
+
 def pack_greedy(
     docs: DataFrame,
     budget: int = 256,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_rows_per_shard: int = PACK_TARGET_ROWS_PER_SHARD,
 ) -> DataFrame:
     """Token-budget sequence packing: assign docs to bins of at most
     `budget` whitespace tokens via the greedy first-overflow fold, inside
@@ -121,24 +125,44 @@ def pack_greedy(
     shard = id % n_shards; within a shard docs are folded in id order with
     t = min(n_tokens, budget) (an over-budget doc occupies a bin alone);
     if fill + t > budget a new bin starts. Token count = the ts_text_stats
-    whitespace rule: len(split(trim(text), '\\s+')).
+    whitespace rule: len(split(trim(text), '\\s+')); NULL text counts 0.
+
+    `n_shards=None` (the default) AUTO-SIZES the shard count from a
+    deterministic row-count probe: ceil(rows / target_rows_per_shard),
+    min 1 — the VERDICT-r3 fix for the fixed-8 default, whose per-shard
+    applyInPandas fold would materialize 1/8th of a 10^12-row corpus in
+    ONE Python worker if the caller forgot the knob (same failure class
+    the similarity auto-selector closed). The probe is one scalar count()
+    action, the CC/pagerank family's established dispatch pattern; results
+    stay (shard, bin)-addressed so an explicit n_shards reproduces any
+    auto-sized run exactly (shard-count-independence is NOT claimed across
+    different counts — bins are per-shard by spec — but the same count
+    always yields identical output; pinned in tests).
 
     Scale shape: the fold is inherently sequential, so parallelism comes
     from sharding — one shuffle on shard, then a pure per-group pandas
     fold whose Python cost is O(rows) integer arithmetic (tokenization
-    stays JVM-side; only (ids, token counts) cross into Arrow). At 100 TB
-    you pick n_shards ≈ corpus/executor-memory and bins are
-    (shard, bin_id)-addressed; packing quality loss vs a global fold is
-    nil because any shard holds millions of docs per bin boundary.
+    stays JVM-side; only (ids, token counts) cross into Arrow). Auto mode
+    bounds a shard at ~10M (id, n_tokens) pairs ≈ 160 MB per worker; bins
+    are (shard, bin_id)-addressed and packing quality loss vs a global
+    fold is nil because any shard holds millions of docs per bin boundary.
 
     Returns (shard_id, id, n_tokens, bin_id); n_tokens is the RAW count
     (the capped value is recomputable as least(n_tokens, budget)).
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    if n_shards is None:
+        n_rows = docs.count()
+        n_shards = max(1, -(-n_rows // target_rows_per_shard))
+    # NULL text => 0 tokens (pinned; mirrored as coalesce(len(...), 0) in the
+    # oracle). Without the coalesce, size(split(NULL)) is NULL, which reaches
+    # the pandas fold as NaN and int(NaN) raises (ADVICE r3).
+    n_tok = F.coalesce(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long"), F.lit(0).cast("long")
+    )
     base = docs.select(
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard_id"),
         F.col(id_col).cast("long").alias("id"),
-        n_tok.cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -59,15 +59,26 @@ def run_curation(
     contam_threshold: float = 0.5,
     quota: int = 0,
     budget: int = 256,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     force: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the curation DAG over `docs` (doc_id, text, lang, source, ...).
 
     `quota`: docs per language stratum kept by the sample stage; 0 disables
-    sampling (keep everything that survived the filters). Returns the stage
-    tables plus the `rejects` ledger and the funnel counts."""
+    sampling (keep everything that survived the filters). `n_shards=None`
+    lets pack_greedy auto-size its shards from a row probe. Returns the
+    stage tables plus the `rejects` ledger and the funnel counts.
+
+    Stage-resume fingerprint = input_fp + EVERY curation parameter
+    (ADVICE r3): re-running in the same workdir with a different
+    --min-quality/--quota/... must invalidate downstream stage manifests,
+    not silently resume outputs computed under the old parameters."""
     os.makedirs(workdir, exist_ok=True)
+    shard_tag = "auto" if n_shards is None else str(n_shards)
+    input_fp = (
+        f"{input_fp}-q{min_quality:g}-bm{bench_mod}-ct{contam_threshold:g}"
+        f"-k{quota}-b{budget}-s{shard_tag}"
+    )
     rejects: list[DataFrame] = []
 
     def reject(ids: DataFrame, stage: str, reason_col):
@@ -240,7 +251,12 @@ def main() -> None:
     else:
         sf_dir = args.sf_dir or f"/root/testdata/sf{args.sf:g}"
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        fp = f"docs-{sf_dir}"
+        # CONTENT fingerprint, not the path string (ADVICE r3): if the
+        # parquet under the same path changes, stage manifests invalidate
+        # (run.py's established pattern).
+        from kgc.plans.metrics import table_fingerprint
+
+        fp = f"docs-{table_fingerprint(docs)}"
     t0 = time.time()
     tables = run_curation(
         spark, args.workdir, docs, input_fp=fp,

@@ -64,9 +64,15 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # Managed-table warehouse (bucketBy co-located-join seam, op-02)
         # defaults under /tmp so saveAsTable never writes into the repo cwd.
+        # Per-PROCESS unique (ADVICE r3): a fixed shared path raced when two
+        # sessions on the same host saveAsTable'd the same table names
+        # (t_bucket_a/...); pid-suffixing isolates them while staying stable
+        # across get_spark() calls within one process (getOrCreate reuse).
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("KGC_WAREHOUSE_DIR", "/tmp/kgc-spark-warehouse"),
+            os.environ.get(
+                "KGC_WAREHOUSE_DIR", f"/tmp/kgc-spark-warehouse-{os.getpid()}"
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

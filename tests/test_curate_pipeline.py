@@ -94,3 +94,59 @@ def test_packs_cover_corpus_within_budget(tables):
         .collect()
     )
     assert all(r["fill"] <= 256 for r in fills), fills
+
+def test_pack_null_text_counts_zero_tokens(spark):
+    """ADVICE r3: NULL text must fold as 0 tokens (coalesce both engines),
+    not crash the pandas fold with int(NaN)."""
+    from kgc.operators.sample import pack_greedy
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in pack_greedy(docs, budget=4, n_shards=1).collect()}
+    assert rows[2]["n_tokens"] == 0
+    # 0-token doc never opens a new bin: 1(3 tok) + 2(0) + 3(2 tok>budget-3) => bins 0,0,1
+    assert [rows[i]["bin_id"] for i in (1, 2, 3)] == [0, 0, 1]
+
+
+def test_pack_auto_shards_matches_explicit(spark):
+    """VERDICT r3 #2: n_shards=None derives ceil(rows/target) from a row
+    probe; the auto-sized run must equal the explicit-shard run bit-for-bit
+    and each shard's fold must equal the pure-function reference."""
+    from kgc.operators.sample import greedy_bins, pack_greedy
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (1 + i % 7))) for i in range(13)],
+        "doc_id long, text string",
+    )
+    auto = pack_greedy(docs, budget=8, n_shards=None, target_rows_per_shard=4)
+    explicit = pack_greedy(docs, budget=8, n_shards=4)  # ceil(13/4) == 4
+    a = sorted(map(tuple, auto.collect()))
+    assert a == sorted(map(tuple, explicit.collect()))
+    # per-shard fold equals the property-tested pure function
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for shard, i, n, b in a:
+        by_shard[shard].append((i, n, b))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        assert [b for _, _, b in rows] == greedy_bins([n for _, n, _ in rows], 8)
+
+
+def test_param_change_invalidates_stage_resume(spark, tmp_path_factory):
+    """ADVICE r3 (medium): same workdir + different curation params must NOT
+    resume stale stage outputs — the param tuple is folded into input_fp."""
+    docs = _mk_docs(spark)
+    wd = str(tmp_path_factory.mktemp("curate_params"))
+    t1 = run_curation(spark, wd, docs, input_fp="fp", quota=3)
+    n1 = t1["corpus"].count()
+    # tightening the per-language quota shrinks the corpus; a stale resume
+    # of the sample stage would return the quota=3 output instead
+    t2 = run_curation(spark, wd, docs, input_fp="fp", quota=1)
+    n2 = t2["corpus"].count()
+    n_langs = t2["corpus"].select("lang").distinct().count()
+    assert n2 == n_langs < n1
+    # and re-running with the ORIGINAL params resumes the original outputs
+    t3 = run_curation(spark, wd, docs, input_fp="fp", quota=3)
+    assert t3["corpus"].count() == n1
