@@ -2018,6 +2018,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_pinned_session(v) for k, v in _QUERIES.items()}
 
 
+# Dict ORDER is load-bearing (SURVEY.md §8): the driver's correctness
+# harness executes queries() in insertion order and stopped at exactly 50
+# of 57 in r3 (r1 ran all 41, r2 all 42 — the cap was never hit before),
+# leaving the tail 7 without a driver row. All 57 run locally in ~30 s
+# (tests/test_entry_contract.py is the bit-exact twin of the gate), so the
+# cutoff is a harness budget, not query cost. Rotation policy: the 7
+# queries the driver has never (or least recently) verified are placed
+# INSIDE the first 50; the 7 demoted to the tail are chosen so every
+# SURVEY §2 operator keeps at least one in-budget covering query
+# (rel_cube/rel_pivot → op-27 still covered by rel_rollup+rel_unpivot;
+# rel_running_total → window kit via rel_window_kit/rel_topk/rel_sessionize;
+# rel_set_ops → op-36 via kg_triples; rel_salted_dedup → op-29 via
+# dd_exact_hash+dd_dup_clusters; rel_asof_last_event → op-18/40 via
+# kg_attribution+rel_sessionize; ts_lang_id → op-38 via
+# ts_text_stats+ts_fingerprint), and each demoted query is 3-rounds
+# driver-green (r1–r3) plus locally contract-verified every run.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_spans_flat": q_kg_spans_flat,
         "kg_roundtrip_spans": q_kg_roundtrip_spans,
@@ -2034,19 +2050,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_recommend": q_kg_recommend,
         "kg_events_similar_users": q_kg_events_similar_users,
         "sql_api_parity": q_sql_api_parity,
+        # -- rotated IN for r4 (no driver row yet / stale since r2) --------
+        "mm_media_features": q_mm_media_features,
+        "mm_frame_samples": q_mm_frame_samples,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_construct_triples": q_stream_construct_triples,
+        "stream_dedup_registry": q_stream_dedup_registry,
+        "stream_neardup_pairs": q_stream_neardup_pairs,
+        "stream_decontaminate": q_stream_decontaminate,
+        # ------------------------------------------------------------------
         "rel_topk_orders_per_cust": q_rel_topk_orders_per_cust,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_rollup_lineitem": q_rel_rollup_lineitem,
-    "rel_cube_lineitem": q_rel_cube_lineitem,
-    "rel_pivot_orders": q_rel_pivot_orders,
-    "rel_running_total": q_rel_running_total,
-        "rel_set_ops": q_rel_set_ops,
         "rel_salted_join": q_rel_salted_join,
-        "rel_salted_dedup": q_rel_salted_dedup,
     "rel_sessionize": q_rel_sessionize,
         "rel_from_json_events": q_rel_from_json_events,
-        "rel_asof_last_event": q_rel_asof_last_event,
         "rel_quantiles_lineitem": q_rel_quantiles_lineitem,
         "gr_triangle_counts": q_gr_triangle_counts,
         "gr_pagerank": q_gr_pagerank,
@@ -2067,15 +2086,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cur_pack_greedy": q_cur_pack_greedy,
         "cur_diversity_sample": q_cur_diversity_sample,
         "ts_text_stats": q_ts_text_stats,
-        "ts_lang_id": q_ts_lang_id,
         "ts_fingerprint": q_ts_fingerprint,
-        "mm_media_features": q_mm_media_features,
-        "mm_frame_samples": q_mm_frame_samples,
-        "stream_window_counts": q_stream_window_counts,
-        "stream_construct_triples": q_stream_construct_triples,
-        "stream_dedup_registry": q_stream_dedup_registry,
-        "stream_neardup_pairs": q_stream_neardup_pairs,
-        "stream_decontaminate": q_stream_decontaminate,
+        # -- rotated OUT for r4 (3× driver-green r1–r3; ops covered above) -
+    "rel_cube_lineitem": q_rel_cube_lineitem,
+    "rel_pivot_orders": q_rel_pivot_orders,
+    "rel_running_total": q_rel_running_total,
+        "rel_set_ops": q_rel_set_ops,
+        "rel_salted_dedup": q_rel_salted_dedup,
+        "rel_asof_last_event": q_rel_asof_last_event,
+        "ts_lang_id": q_ts_lang_id,
     }
 
 
