@@ -681,11 +681,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement (centroid = per-dim Σ floor(v·2^20), cosine is
     scale-invariant so no division) was measured and gave NO recall gain
     at this N (0.58 → 0.58 at nprobe=4); omitted to keep the oracle small.
-    Recall is tuned by nprobe alone: 0.58/0.69/0.73 at nprobe 4/6/8."""
+    Recall is tuned by nprobe alone: 0.58/0.69/0.73 at nprobe 4/6/8.
+    The r4 hot-cell cap (max_cell=256, md5-rank member retention —
+    VERDICT r3 #3) is part of the pinned contract, mirrored in the data
+    CTE's QUALIFY; at this corpus's ~62 members/cell it never binds."""
     from kgc.operators.dedup import ann_topk_ivf
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    return ann_topk_ivf(emb, k=5, n_cells=16, nprobe=6).filter(F.col("q_id") < 20)
+    return ann_topk_ivf(emb, k=5, n_cells=16, nprobe=6, max_cell=256).filter(
+        F.col("q_id") < 20
+    )
 
 
 _ANN_IVF_SQL = """
@@ -702,7 +707,13 @@ csim AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, c_id ASC) AS crk FROM csim
 ),
-data AS (SELECT id AS vec_id, c_id AS cell FROM ranked WHERE crk = 1),
+data AS (
+  SELECT vec_id, cell FROM (
+    SELECT id AS vec_id, c_id AS cell FROM ranked WHERE crk = 1
+  ) QUALIFY row_number() OVER (
+      PARTITION BY cell ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+    ) <= 256
+),
 probes AS (SELECT id AS q_id, c_id AS cell FROM ranked WHERE crk <= 6),
 scored AS (
   SELECT p.q_id, d.vec_id,

@@ -578,6 +578,7 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list | None = None,
+    max_cell: int | None = 256,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF-Flat index — the
     partition-pruned alternative to the SRP-LSH scale path (ann_topk_lsh):
@@ -589,10 +590,24 @@ def ann_topk_ivf(
     At scale: cells are the shuffle/partition key (choose n_cells ≈ √N and
     bucket the stored table BY cell so probe joins are co-located and
     untouched cells are never read — the IVF analog of partition pruning).
-    A hot cell (skewed quantizer region) is split by re-quantizing its
-    members against a sub-codebook, the same posting-list split as the
-    minhash hot-bucket cap; AQE skew-join handles moderate skew unaided.
     Recall/cost is tuned by nprobe alone, independent of the stored layout.
+
+    `max_cell` (VERDICT r3 #3 — the IVF rendering of the minhash
+    `max_bucket` cap): a degenerate codebook (all vectors near one
+    centroid) makes the candidate equi-join on `cell` quadratic — the same
+    OOM spiral the 1M-doc minhash probe hit before its cap. Per cell, only
+    the `max_cell` members with the smallest md5('ivf:'||id) rank (id
+    tie-break) stay on the DATA side of the join; overflow members still
+    probe as QUERIES (they get neighbors — drawn from the kept members —
+    they just aren't indexed as candidates for others), bounding candidates
+    per query at nprobe·max_cell. Deterministic and oracle-mirrored
+    (identical QUALIFY rank in _ANN_IVF_SQL); Spark 4's WindowGroupLimit
+    pre-trims the rank window map-side, so the cap itself never
+    materializes a hot cell. At gate scale (≈62 members/cell) the default
+    never binds; the production fix for a persistently hot cell remains
+    retraining/sub-quantizing the codebook — the cap is the guard-rail
+    that keeps the job alive meanwhile (planted-degenerate test in
+    tests/test_dedup.py).
 
     Measured operating points (full self-join top-5 over the 2,000 sf0.1
     vectors; BENCH/BASELINE.md §4): brute 72.6 s · n_cells=20, nprobe=12 →
@@ -606,6 +621,16 @@ def ann_topk_ivf(
     data = cells.select(
         F.col("id").alias("vec_id"), F.col("v").alias("dv"), F.col("vn").alias("dn"), "cell"
     )
+    if max_cell is not None:
+        wc = Window.partitionBy("cell").orderBy(
+            F.md5(F.concat_ws(":", F.lit("ivf"), F.col("vec_id").cast("string"))).asc(),
+            F.col("vec_id").asc(),
+        )
+        data = (
+            data.withColumn("_mrk", F.row_number().over(wc))
+            .filter(F.col("_mrk") <= max_cell)
+            .drop("_mrk")
+        )
     qs = cells.select(
         F.col("id").alias("q_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"),
         F.explode("probes").alias("cell"),

@@ -163,3 +163,33 @@ class TestAnnIvf:
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
         assert "CartesianProduct" not in plan, plan
         assert "cell" in plan
+
+    def test_hot_cell_cap_bounds_degenerate_codebook(self, spark):
+        """VERDICT r3 #3: a degenerate codebook (all vectors ~identical →
+        every row lands in ONE cell) must not send the cell equi-join
+        quadratic. With max_cell=m only the m smallest-md5-rank members
+        stay on the data side; every query still gets neighbors, drawn
+        only from the kept members (the rank rule is re-derived here —
+        the oracle-mirror proof at unit scale)."""
+        import hashlib
+
+        from kgc.operators.dedup import ann_topk_ivf
+
+        n, m = 200, 16
+        # near-identical vectors: cosine to every md5-sampled centroid
+        # rounds to the same 9dp key, so (csim DESC, c_id ASC) sends all
+        # rows to the min-c_id cell — the planted degenerate quantizer
+        rows = [(i, [1.0, 1.0, 1.0, 1e-9 * i]) for i in range(n)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        res = ann_topk_ivf(emb, k=5, n_cells=8, nprobe=2, max_cell=m).collect()
+        kept = set(
+            sorted(range(n), key=lambda i: (hashlib.md5(f"ivf:{i}".encode()).hexdigest(), i))[:m]
+        )
+        assert {r["q_id"] for r in res} == set(range(n))  # overflow still queries
+        assert {r["vec_id"] for r in res} <= kept  # candidates only from kept members
+        per_q = {}
+        for r in res:
+            per_q.setdefault(r["q_id"], []).append(r)
+        for q, rs in per_q.items():
+            expect = len(kept) - (1 if q in kept else 0)
+            assert len(rs) == min(5, expect)
