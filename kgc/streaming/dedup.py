@@ -30,9 +30,12 @@ first-SEEN doc, the registry keeps the min-id doc — both disclosed).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_COMPACTED_BATCH_ID = -1  # sentinel batch_id for rows produced by compaction
 
 
 def read_registry(spark: SparkSession, registry_dir: str) -> DataFrame:
@@ -137,11 +140,12 @@ def streaming_exact_dedup(
 
 def read_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
     """The banded-MinHash posting registry: distinct (id, band_idx,
-    band_key) rows accumulated across batches (batch_id keeps replayed
-    appends byte-identical for the distinct)."""
+    band_key) rows accumulated across batches (each doc posts once per
+    band; the distinct absorbs at-least-once replays, whose appended rows
+    are byte-identical)."""
     if not os.path.isdir(postings_dir):
-        return spark.createDataFrame([], "batch_id long, id long, band_idx int, band_key string")
-    return spark.read.parquet(postings_dir).distinct()
+        return spark.createDataFrame([], "id long, band_idx int, band_key string")
+    return spark.read.parquet(postings_dir).select("id", "band_idx", "band_key").distinct()
 
 
 def read_candidate_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
@@ -372,3 +376,92 @@ def streaming_decontam(
     )
     q.awaitTermination()
     return read_contamination_pairs(spark, pairs_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sink compaction (VERDICT r3 #4): rewrite the append logs to merged form
+# ---------------------------------------------------------------------------
+#
+# Every sink above is an APPEND log that its read_* helper merges on read
+# (distinct / groupBy) — correct but O(history) per drain: a year-old stream
+# re-distincts every partial ever appended. These batch jobs rewrite a log to
+# its merged form so reads cost O(live state); they are the engine's rendering
+# of the standard log-structured compaction (Kafka compacted topics, Iceberg
+# rewrite_data_files, the RocksDB L0→L1 merge).
+#
+# Contract (tested in tests/test_streaming.py::TestSinkCompaction):
+# - equal-on-read: every read_* helper returns the identical rowset before
+#   and after compaction, and a stream RESUMED after compaction keeps
+#   producing oracle-equal results (the merge logic never distinguishes
+#   compacted from raw rows).
+# - idempotent: compacting twice is a no-op rewrite.
+# - QUIESCED streams only: run while no streaming query is writing the sink
+#   and its last batch is checkpoint-committed. Compaction folds batch_ids
+#   into the -1 sentinel, so an UNCOMMITTED batch replayed afterwards would
+#   no longer be absorbed byte-identically (the registry would double-count
+#   it). Same precondition every log compactor has; at 100 TB the periodic
+#   compaction slot sits between drains of an availableNow pipeline.
+#
+# The rewrite is crash-safe via rename ordering (write tmp → move old away →
+# move tmp in → drop old): a crash leaves either the original or the
+# compacted log plus a stale temp dir, never a half-deleted sink. (A table
+# format with atomic snapshot commit — Iceberg/Delta — replaces this dance
+# with one metadata swap; kgc/sources/catalog.py documents that seam.)
+
+
+def _swap_rewrite(df: DataFrame, path: str) -> None:
+    """Materialize `df` (which may read from `path`) into a temp dir, then
+    swap it in place of `path` via two renames."""
+    tmp, old = path.rstrip("/") + ".compact-tmp", path.rstrip("/") + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)  # materializes BEFORE the swap
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def compact_registry(spark: SparkSession, registry_dir: str) -> None:
+    """Fold the exact-dedup registry's per-batch partials into one row per
+    content hash: (batch_id=-1, content_hash, Σn, min min_doc) — exactly
+    what read_registry computes on read, persisted."""
+    if not os.path.isdir(registry_dir):
+        return
+    merged = read_registry(spark, registry_dir).select(
+        F.lit(_COMPACTED_BATCH_ID).cast("long").alias("batch_id"),
+        "content_hash", "n", F.col("keep_doc_id").alias("min_doc"),
+    )
+    _swap_rewrite(merged, registry_dir)
+
+
+def compact_postings(spark: SparkSession, postings_dir: str) -> None:
+    """Rewrite the near-dup posting log to its distinct (id, band_idx,
+    band_key) set under the sentinel batch_id."""
+    if not os.path.isdir(postings_dir):
+        return
+    merged = read_postings(spark, postings_dir).select(
+        F.lit(_COMPACTED_BATCH_ID).cast("long").alias("batch_id"),
+        "id", "band_idx", "band_key",
+    )
+    _swap_rewrite(merged, postings_dir)
+
+
+def compact_pairs(spark: SparkSession, pairs_dir: str) -> None:
+    """Rewrite the near-dup candidate-pair log to its distinct pair set."""
+    if not os.path.isdir(pairs_dir):
+        return
+    merged = read_candidate_pairs(spark, pairs_dir).select(
+        F.lit(_COMPACTED_BATCH_ID).cast("long").alias("batch_id"), "id_a", "id_b"
+    )
+    _swap_rewrite(merged, pairs_dir)
+
+
+def compact_contamination_pairs(spark: SparkSession, pairs_dir: str) -> None:
+    """Rewrite the decontamination pair log to its distinct row set."""
+    if not os.path.isdir(pairs_dir):
+        return
+    merged = read_contamination_pairs(spark, pairs_dir).select(
+        F.lit(_COMPACTED_BATCH_ID).cast("long").alias("batch_id"),
+        "train_id", "bench_id", "n_common", "containment",
+    )
+    _swap_rewrite(merged, pairs_dir)
