@@ -103,6 +103,27 @@ def predict_pair_count(items: DataFrame) -> float:
 # cluster, already hours on one box; past it the banded-LSH candidate
 # generator (recall 0.9973 at sim≥0.5, sf1 harness) is strictly better.
 AUTO_PAIR_THRESHOLD = 2e9
+LOCAL_PAIR_THRESHOLD = 1e8  # measured local[32] exact→LSH crossover (BENCH §1)
+
+_PROFILE_THRESHOLDS = {"cluster": AUTO_PAIR_THRESHOLD, "local": LOCAL_PAIR_THRESHOLD}
+
+
+def sim_threshold_for_profile(profile: str) -> float:
+    """Auto-select threshold for an execution profile (VERDICT r3 #5).
+
+    'cluster' (default): 2e9 predicted pairs ≈ a 50 GB pair shuffle — the
+    point where the exact inverted-index path stops being worth its
+    perfect recall on a 1000-executor cluster. 'local': 1e8, the crossover
+    MEASURED on this box (BENCH/BASELINE.md §1: LSH already wins near
+    1e8–1e9 predicted pairs at local[32]) — a laptop user running the CLI
+    without a cluster should flip to LSH ~20× earlier. An explicit
+    --sim-pair-threshold always overrides the profile."""
+    try:
+        return _PROFILE_THRESHOLDS[profile]
+    except KeyError:
+        raise ValueError(
+            f"profile must be one of {sorted(_PROFILE_THRESHOLDS)}, got {profile!r}"
+        ) from None
 
 
 def select_similarity_mode(

@@ -9,7 +9,7 @@ lineage metrics (op-05); a re-run skips stages whose manifests still match
 Usage:
     spark-submit --py-files kgc.zip kgc/plans/run.py \
         --sf 0.01 --workdir /tmp/kgc_run [--force] [--stage NAME] [--until triples] \
-        [--lsh-sim | --exact-sim] [--sim-pair-threshold N]
+        [--lsh-sim | --exact-sim] [--profile cluster|local] [--sim-pair-threshold N]
 """
 
 from __future__ import annotations
@@ -226,8 +226,14 @@ def main() -> None:
     sim.add_argument("--exact-sim", dest="sim_mode", action="store_const", const="exact",
                      help="force the exact inverted-index similarity path")
     ap.set_defaults(sim_mode="auto")
-    ap.add_argument("--sim-pair-threshold", type=float, default=AUTO_PAIR_THRESHOLD,
-                    help="auto mode switches exact→LSH above this predicted pair count")
+    ap.add_argument("--profile", default="cluster", choices=["cluster", "local"],
+                    help="execution profile setting the auto-select threshold: "
+                         "'cluster' 2e9 (pair shuffle a 1000-executor cluster absorbs), "
+                         "'local' 1e8 (the measured local[32] exact→LSH crossover, "
+                         "BENCH/BASELINE.md §1)")
+    ap.add_argument("--sim-pair-threshold", type=float, default=None,
+                    help="auto mode switches exact→LSH above this predicted pair "
+                         "count (overrides --profile)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--until", default="recommend", choices=["triples", "recommend"])
     args = ap.parse_args()
@@ -239,10 +245,17 @@ def main() -> None:
         from kgc.sources.catalog import invalidate
 
         invalidate(os.path.join(args.workdir, args.stage))
+    from kgc.operators.similarity import sim_threshold_for_profile
+
+    threshold = (
+        args.sim_pair_threshold
+        if args.sim_pair_threshold is not None
+        else sim_threshold_for_profile(args.profile)
+    )
     t0 = time.time()
     tables = run_pipeline(
         spark, args.workdir, args.sf, force=args.force, sim_mode=args.sim_mode,
-        sim_pair_threshold=args.sim_pair_threshold, until=args.until,
+        sim_pair_threshold=threshold, until=args.until,
     )
     n_triples = tables["triples"].count()
     wall = time.time() - t0

