@@ -52,12 +52,15 @@ def _stage(
     build,
     bucket_by: str | None = None,
     force: bool = False,
+    timings: dict[str, float] | None = None,
 ) -> DataFrame:
     path = os.path.join(workdir, name)
     if not force:
         cached = cat.resume(spark, path, name, input_fp)
         if cached is not None:
             print(f"[kgc] stage {name}: resumed from checkpoint")
+            if timings is not None:
+                timings[name] = 0.0
             return cached
     t0 = time.time()
     df = build()
@@ -72,7 +75,10 @@ def _stage(
     metrics.write.mode("overwrite").parquet(mdir)
     n_rows = spark.read.parquet(mdir).agg(F.sum("rows_out")).collect()[0][0] or 0
     cat.write_manifest(path, name, input_fp, int(n_rows), df.schema.simpleString())
-    print(f"[kgc] stage {name}: computed in {time.time() - t0:.1f}s")
+    wall = time.time() - t0
+    if timings is not None:
+        timings[name] = round(wall, 3)
+    print(f"[kgc] stage {name}: computed in {wall:.1f}s")
     return out
 
 
@@ -96,7 +102,11 @@ def run_pipeline(
     10^12-scale plan engages without a manual flag (VERDICT r2 #1).
     `info`, when supplied, receives {'sim_mode', 'sim_predicted_pairs'}
     (only when the similarity stage actually rebuilds — a manifest resume
-    skips the decision along with the stage)."""
+    skips the decision along with the stage) plus 'stage_sec': per-stage
+    wall seconds (0.0 for resumed stages) with the similarity stage's
+    auto-select probe broken out as 'similarity_select', so a bench
+    reading can attribute e2e wall to stages instead of guessing which
+    share is probe cost vs host noise (VERDICT r3 #6)."""
     if sim_mode not in ("auto", "exact", "lsh"):
         # fail BEFORE any stage runs (and even when until='triples' skips
         # the similarity stage) — a typo must not cost minutes of compute
@@ -109,6 +119,9 @@ def run_pipeline(
         from kgc.plans.metrics import table_fingerprint
 
         input_fp = f"docs-{table_fingerprint(docs)}"
+    stage_sec: dict[str, float] = {}
+    if info is not None:
+        info["stage_sec"] = stage_sec
     fp = input_fp or f"synth-sf{sf}-seed42"
     catalog_df = alias_catalog(spark, sf)
     part_of = part_of_dim(spark)
@@ -116,27 +129,27 @@ def run_pipeline(
     docs_df = _stage(
         spark, workdir, "ingest", fp,
         (lambda: docs) if docs is not None else (lambda: synth_documents(spark, sf)),
-        bucket_by="doc_id", force=force,
+        bucket_by="doc_id", force=force, timings=stage_sec,
     )
     mentions = _stage(
         spark, workdir, "extract", fp,
         lambda: extract_mentions(explode_spans(docs_df)),
-        bucket_by="doc_id", force=force,
+        bucket_by="doc_id", force=force, timings=stage_sec,
     )
     linked = _stage(
         spark, workdir, "link", fp,
         lambda: link_mentions(mentions_to_long(mentions), catalog_df),
-        bucket_by="doc_id", force=force,
+        bucket_by="doc_id", force=force, timings=stage_sec,
     )
     canon_map = _stage(
         spark, workdir, "canonicalize", fp,
         lambda: entities_canon_map(salted_dedup(alias_edges(catalog_df), ["src", "dst"])),
-        force=force,
+        force=force, timings=stage_sec,
     )
     triples = _stage(
         spark, workdir, "triples", fp,
         lambda: canonical_triples(assemble_triples(linked), canon_map),
-        bucket_by="subj", force=force,
+        bucket_by="subj", force=force, timings=stage_sec,
     )
     tables = {
         "documents": docs_df,
@@ -151,7 +164,7 @@ def run_pipeline(
     attributions = _stage(
         spark, workdir, "attribute", fp,
         lambda: attribute(triples, part_of),
-        force=force,
+        force=force, timings=stage_sec,
     )
 
     def build_similar():
@@ -164,10 +177,12 @@ def run_pipeline(
         # touch_items is a full dedup SHUFFLE of the touch stream — pay it
         # ONCE (localCheckpoint) and share across the predict probe, the
         # stop-list, and the chosen path's own consumers.
+        t_sel = time.time()
         items = touch_items(triples).localCheckpoint(eager=True)
         mode, predicted = sim_mode, None
         if mode == "auto":
             mode, predicted = select_similarity_mode(triples, sim_pair_threshold, items=items)
+            stage_sec["similarity_select"] = round(time.time() - t_sel, 3)
             print(
                 f"[kgc] similarity auto-select: predicted {predicted:.4g} exact "
                 f"candidate pairs (threshold {sim_pair_threshold:.4g}) → {mode}"
@@ -183,11 +198,11 @@ def run_pipeline(
         # output pinned bit-equal to the plain path (tests/test_ops_core.py)
         return similar_to_exact(triples, dict_encode=True, items=items)
 
-    similar = _stage(spark, workdir, "similarity", fp, build_similar, force=force)
+    similar = _stage(spark, workdir, "similarity", fp, build_similar, force=force, timings=stage_sec)
     recs = _stage(
         spark, workdir, "recommend", fp,
         lambda: recommend(triples, similar),
-        force=force,
+        force=force, timings=stage_sec,
     )
     tables.update(
         {"attributions": attributions, "similar_to": similar, "recommendations": recs}
