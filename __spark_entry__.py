@@ -1161,12 +1161,26 @@ def q_gr_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(co_order_edges(li))
 
 
-_TRIANGLES_SQL = """
-WITH e AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+# Shared co-order edge CTE for the graph oracles, mirroring
+# kgc/operators/graph.py co_order_edges INCLUDING its per-order item cap
+# (max_items=64, md5-rank retention — VERDICT r3 #7; never binds on the
+# TPC-H-ish gate corpus).
+_CO_EDGES_CTE = """
+co_items AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+co_kept AS (
+  SELECT k, p FROM co_items
+  QUALIFY row_number() OVER (
+    PARTITION BY k
+    ORDER BY md5('co:' || CAST(k AS VARCHAR) || ':' || CAST(p AS VARCHAR)), p
+  ) <= 64
 ),
+e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM co_kept a JOIN co_kept b ON a.k = b.k AND a.p < b.p
+)"""
+
+_TRIANGLES_SQL = f"""
+WITH {_CO_EDGES_CTE},
 deg AS (
   SELECT node, count(*) AS deg FROM (
     SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) GROUP BY node
@@ -1260,11 +1274,7 @@ def q_gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_sql() -> str:
     tele = f"(({100 - _PR_DAMP} * (SELECT base FROM params)) // 100)"
     parts = [f"""
-WITH e AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
+WITH {_CO_EDGES_CTE},
 b2 AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
 deg AS (SELECT src AS node, count(*) AS deg FROM b2 GROUP BY src),
 params AS (SELECT ({_PR_SCALE} // count(*)) AS base FROM deg),

@@ -24,13 +24,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def co_order_edges(lineitem: DataFrame) -> DataFrame:
+CO_ORDER_MAX_ITEMS = 64
+
+
+def co_order_edges(
+    lineitem: DataFrame, max_items: int | None = CO_ORDER_MAX_ITEMS
+) -> DataFrame:
     """(src < dst) part pairs co-occurring in at least one order — the
-    bipartite projection that serves as the demo graph. Pair generation is
-    bounded per order (C(items,2), single-digit for TPC-H-ish orders), the
-    analog of the similarity family's per-activity pair bound."""
-    a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    bipartite projection that serves as the demo graph.
+
+    Per-order pair fan-out is C(items, 2) — single-digit for TPC-H-ish
+    orders, but a general bipartite projection meets fat keys (a
+    10^6-item "order" is 5·10^11 pairs), so the builder carries the
+    family's standard per-key cap (VERDICT r3 #7): orders keep only their
+    `max_items` parts with the smallest md5('co:'||order||':'||part) rank
+    (part-id tie-break), bounding fan-out at C(max_items, 2) ≈ 2k pairs.
+    Deterministic, oracle-mirrored (identical QUALIFY in _CO_EDGES_CTE);
+    never binds on the gate corpus. Same retention rule as the IVF
+    max_cell and minhash max_bucket caps."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    if max_items is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("co"), F.col("k").cast("string"), F.col("p").cast("string")
+                )
+            ).asc(),
+            F.col("p").asc(),
+        )
+        items = (
+            items.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_items)
+            .drop("_rk")
+        )
+    a = items.select("k", F.col("p").alias("src"))
+    b = items.select("k", F.col("p").alias("dst"))
     return (
         a.join(b, "k")
         .filter(F.col("src") < F.col("dst"))

@@ -70,3 +70,34 @@ class TestPageRank:
         pr = {r["node"]: r["pr_int"]
               for r in pagerank_fixedpoint(_edges(spark, cycle), iters=5).collect()}
         assert len(set(pr.values())) == 1  # 2-regular: exactly uniform
+
+
+class TestCoOrderCap:
+    def test_fat_order_fanout_bounded(self, spark):
+        """VERDICT r3 #7: a planted fat order (200 parts → C(200,2)=19,900
+        pairs uncapped) must be trimmed to its max_items md5-rank-kept
+        parts, with the retention rule re-derived here as the
+        oracle-mirror proof; normal orders are untouched."""
+        import hashlib
+
+        from kgc.operators.graph import co_order_edges
+
+        rows = [(1, p) for p in range(200)] + [(2, 900), (2, 901), (3, 950)]
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        edges = co_order_edges(li, max_items=10).collect()
+        kept = set(
+            sorted(range(200), key=lambda p: (hashlib.md5(f"co:1:{p}".encode()).hexdigest(), p))[:10]
+        )
+        fat = [(r["src"], r["dst"]) for r in edges if r["src"] < 900]
+        assert len(fat) == 45  # C(10,2)
+        assert {n for e in fat for n in e} == kept
+        assert (900, 901) in {(r["src"], r["dst"]) for r in edges}  # small order intact
+
+    def test_uncapped_equals_default_on_small_orders(self, spark):
+        """On TPC-H-shaped orders the default cap never binds."""
+        from kgc.operators.graph import co_order_edges
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        a = sorted(map(tuple, co_order_edges(li).collect()))
+        b = sorted(map(tuple, co_order_edges(li, max_items=None).collect()))
+        assert a == b
