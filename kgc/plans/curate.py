@@ -233,6 +233,12 @@ def main() -> None:
     ap.add_argument("--quota", type=int, default=0,
                     help="docs kept per language (0 = no sampling stage)")
     ap.add_argument("--budget", type=int, default=256)
+    ap.add_argument("--bench-mod", type=int, default=23,
+                    help="doc_id %% N == 0 marks the benchmark slice")
+    ap.add_argument("--contam-threshold", type=float, default=0.5,
+                    help="drop training docs at/above this benchmark containment")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="pack_greedy shard count (default: auto-sized from a row probe)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -261,7 +267,8 @@ def main() -> None:
     tables = run_curation(
         spark, args.workdir, docs, input_fp=fp,
         min_quality=args.min_quality, quota=args.quota, budget=args.budget,
-        force=args.force,
+        bench_mod=args.bench_mod, contam_threshold=args.contam_threshold,
+        n_shards=args.shards, force=args.force,
     )
     n_in = docs.count()
     n_out = tables["corpus"].count()

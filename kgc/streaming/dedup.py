@@ -112,11 +112,18 @@ def streaming_exact_dedup(
     uniques_dir: str,
     checkpoint_dir: str,
     query_name: str = "kgc_stream_dedup",
+    compact: bool = False,
 ) -> DataFrame:
     """Drain all currently-available document files through the incremental
     dedup and return the compacted registry. Idempotent per input file via
     the checkpoint: call again after new files arrive to process only
-    those (tested two-chunk in tests/test_streaming.py)."""
+    those (tested two-chunk in tests/test_streaming.py).
+
+    `compact=True` runs compact_registry after the drain — the one moment
+    the compaction precondition holds for free (availableNow just
+    terminated, so the stream is quiesced and its last batch
+    checkpoint-committed). A long-lived ingest toggles this every K-th
+    drain to keep registry reads O(live state)."""
     from kgc.streaming.touches import _read_stream
 
     docs = _read_stream(spark, docs_path).select("doc_id", "text")
@@ -135,6 +142,8 @@ def streaming_exact_dedup(
         .start()
     )
     q.awaitTermination()
+    if compact:
+        compact_registry(spark, registry_dir)
     return read_registry(spark, registry_dir)
 
 
@@ -233,6 +242,7 @@ def streaming_near_dedup(
     k: int = 3,
     max_postings: int | None = None,
     query_name: str = "kgc_stream_neardup",
+    compact: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-duplicate candidate detection — the banded-MinHash
     twin of streaming_exact_dedup, closing the streaming side of the dedup
@@ -248,6 +258,10 @@ def streaming_near_dedup(
     happened; both sinks dedup on read via distinct. With no cap the
     accumulated pair set equals the BATCH banding exactly, regardless of
     arrival order or batch boundaries (tested two-chunk).
+
+    `compact=True` rewrites both sinks to merged form after the drain
+    (quiesced + committed by construction at that point — see
+    streaming_exact_dedup).
 
     `max_postings` is the registry-side rendering of the batch hot-bucket
     cap: a band key stops ACCEPTING postings at the cap (later arrivals
@@ -280,6 +294,9 @@ def streaming_near_dedup(
         .start()
     )
     q.awaitTermination()
+    if compact:
+        compact_postings(spark, postings_dir)
+        compact_pairs(spark, pairs_dir)
     return read_candidate_pairs(spark, pairs_dir)
 
 
@@ -314,6 +331,7 @@ def streaming_decontam(
     max_bench_df: int | None = 64,
     train_filter=None,
     query_name: str = "kgc_stream_decontam",
+    compact: bool = False,
 ) -> DataFrame:
     """Incremental test-set decontamination — the streaming twin of
     contamination_pairs, completing the streaming curation trio
@@ -375,6 +393,8 @@ def streaming_decontam(
         .start()
     )
     q.awaitTermination()
+    if compact:
+        compact_contamination_pairs(spark, pairs_dir)
     return read_contamination_pairs(spark, pairs_dir)
 
 

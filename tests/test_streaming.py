@@ -506,3 +506,32 @@ class TestSinkCompaction:
         assert after == before
         compact_contamination_pairs(spark, pairs_dir)
         assert sorted(map(tuple, read_contamination_pairs(spark, pairs_dir).collect())) == before
+
+    def test_drain_with_compact_flag_equals_without(self, spark, tmp_path):
+        """compact=True on a drain (the quiesced-by-construction moment)
+        must leave results identical and the logs minimal, including on
+        the NEXT incremental drain."""
+        from kgc.streaming.dedup import read_registry, streaming_exact_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i % 10}") for i in range(30)], "doc_id long, text string"
+        )
+        a, b = tmp_path / "a", tmp_path / "b"
+        for base in (a, b):
+            base.mkdir()
+        for lo, hi in ((0, 15), (15, 30)):
+            chunk = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            for base, comp in ((a, False), (b, True)):
+                chunk.write.mode("append").parquet(str(base / "docs"))
+                got = streaming_exact_dedup(
+                    spark, str(base / "docs"), str(base / "reg"),
+                    str(base / "unq"), str(base / "ckpt"), compact=comp,
+                    query_name=f"t_{base.name}",
+                )
+        ra = sorted(map(tuple, read_registry(spark, str(a / "reg")).collect()))
+        rb = sorted(map(tuple, read_registry(spark, str(b / "reg")).collect()))
+        assert ra == rb
+        assert (
+            spark.read.parquet(str(b / "reg")).count()
+            < spark.read.parquet(str(a / "reg")).count()
+        )
