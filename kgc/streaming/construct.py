@@ -184,3 +184,44 @@ def bootstrap_dims(spark: SparkSession, docs: DataFrame, sf: float, catalog: Dat
         salted_dedup(alias_edges(catalog), ["src", "dst"])
     ).localCheckpoint(eager=True)
     return res, canon
+
+
+def compact_pending(
+    spark: SparkSession, pending_dir: str, keep: DataFrame | None = None
+) -> None:
+    """Rewrite the pending sink to its merged form (VERDICT r3 #4 applied
+    to the construction sinks): by default the full-row distinct that
+    read_pending computes on every read; pass `keep` (e.g. drain_pending's
+    still_pending, AFTER its new_triples were durably committed) to also
+    drop the re-linked rows — without this, every dim-refresh cycle
+    re-links the whole history. Same quiesced-stream precondition as the
+    dedup-sink compactors."""
+    from kgc.streaming.dedup import _swap_rewrite
+
+    if not os.path.isdir(pending_dir):
+        return
+    # _swap_rewrite materializes the plan into a temp dir BEFORE swapping,
+    # so `keep` may lazily read from pending_dir itself (still_pending does)
+    _swap_rewrite(keep if keep is not None else read_pending(spark, pending_dir), pending_dir)
+
+
+def compact_triples_sink(spark: SparkSession, sink_dir: str) -> None:
+    """Natural-key MERGE compaction (§2.4-D) of a foreachBatch-mode triples
+    sink, materialized: rewrites the append log to one row per
+    (subj,pred,obj,ts,doc_id,span_idx) so downstream consumers stop paying
+    the dropDuplicates over the full history. REFUSES a file-sink-mode
+    directory: there the _spark_metadata transaction log governs reads and
+    rewriting data files behind it would corrupt the sink (file-sink mode
+    is exactly-once per input file and needs no compaction)."""
+    from kgc.operators.triples import NATURAL_KEY
+    from kgc.streaming.dedup import _swap_rewrite
+
+    if not os.path.isdir(sink_dir):
+        return
+    if os.path.isdir(os.path.join(sink_dir, "_spark_metadata")):
+        raise ValueError(
+            f"{sink_dir} is a file-sink (_spark_metadata present): exactly-once "
+            "already holds and rewriting behind the transaction log would "
+            "corrupt it — compaction applies only to foreachBatch-mode sinks"
+        )
+    _swap_rewrite(spark.read.parquet(sink_dir).dropDuplicates(NATURAL_KEY), sink_dir)

@@ -535,3 +535,68 @@ class TestSinkCompaction:
             spark.read.parquet(str(b / "reg")).count()
             < spark.read.parquet(str(a / "reg")).count()
         )
+
+    def test_construct_split_sink_and_pending_compaction(self, spark, tmp_path):
+        """Construction-sink compaction: the foreachBatch-mode triples sink
+        compacts to its natural-key MERGE form, the pending sink to its
+        distinct rows — equal-on-read both — and compact_pending(keep=...)
+        drops drained rows so the next dim-refresh cycle doesn't re-link
+        history. A file-sink-mode dir is refused."""
+        import pytest
+
+        from kgc.schemas import DOCS
+        from kgc.sources.synth import alias_catalog
+        from kgc.streaming.construct import (
+            bootstrap_dims,
+            compact_pending,
+            compact_triples_sink,
+            drain_pending,
+            read_pending,
+            streaming_construct,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                ("k1", [("text", "I-0001 opened email act-003 of campaign cmp-00 at 2025-01-05T10:00:00Z.", None, 0)]),
+                ("n1", [("text", "I-9999 opened email act-003 of campaign cmp-00 at 2025-01-06T10:00:00Z.", None, 0)]),
+                ("n2", [("text", "I-8888 opened email act-003 of campaign cmp-00 at 2025-01-07T10:00:00Z.", None, 0)]),
+            ],
+            DOCS,
+        )
+        docs_dir, pend_dir = str(tmp_path / "docs"), str(tmp_path / "pending")
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        docs.write.parquet(docs_dir)
+        res, canon = bootstrap_dims(spark, docs, 0.001)
+        got = streaming_construct(
+            spark, docs_dir, res, canon, sink, ckpt,
+            query_name="kgc_compact_t", pending_dir=pend_dir,
+        )
+        t0 = sorted(map(tuple, got.collect()))
+        p0 = sorted(map(tuple, read_pending(spark, pend_dir).collect()))
+        assert len(p0) == 2  # n1 + n2 pend
+
+        compact_triples_sink(spark, sink)
+        compact_pending(spark, pend_dir)
+        assert sorted(map(tuple, spark.read.parquet(sink).collect())) == t0
+        assert sorted(map(tuple, read_pending(spark, pend_dir).collect())) == p0
+
+        # refresh resolves ONLY I-9999; keep=still_pending drops it from the sink
+        extra = spark.createDataFrame(
+            [("i 9999", "ind-9999", "individual")],
+            "surface_key string, entity_id string, entity_type string",
+        )
+        res2, canon2 = bootstrap_dims(
+            spark, docs, 0.001, catalog=alias_catalog(spark, 0.001).unionByName(extra)
+        )
+        new_triples, still = drain_pending(spark, pend_dir, res2, canon2)
+        assert new_triples.count() == 1
+        compact_pending(spark, pend_dir, keep=still)
+        left = read_pending(spark, pend_dir).collect()
+        assert [r["ind_surface"] for r in left] == ["I-8888"]
+
+        # file-sink-mode sinks are refused
+        sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+        streaming_construct(spark, docs_dir, res, canon, sink2, ckpt2,
+                            query_name="kgc_compact_t2")
+        with pytest.raises(ValueError, match="_spark_metadata"):
+            compact_triples_sink(spark, sink2)
