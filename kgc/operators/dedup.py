@@ -655,3 +655,161 @@ def ivf_store(cells: DataFrame, path: str) -> None:
     (kgc/sources/catalog.py op-02). Pinned by
     tests/test_plans.py::TestIvfStorage."""
     cells.drop("probes").write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_split_hot_cells(
+    cells: DataFrame,
+    split_threshold: int = 4096,
+    n_sub: int = 16,
+    nprobe_sub: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Sub-quantize HOT coarse cells (the production fix the `max_cell` cap
+    guards until it runs): cells with more than `split_threshold` members
+    get a per-cell sub-codebook — the `n_sub` members with the smallest
+    md5('sub:'||cell||':'||id) rank — and each member re-ranks against it
+    (identical rounded-cosine/struct-sort machinery as the coarse
+    assignment), refining its key to 'cell#sub'. Queries probing a hot
+    cell rank the same sub-codebook and probe their `nprobe_sub` nearest
+    sub-buckets; cold cells pass through with key 'cell'. The candidate
+    join stays a disjoint-key equi-join, now bounded per hot cell at
+    ~|cell|/n_sub members per bucket instead of |cell| — the IVF rendering
+    of the minhash posting-list split.
+
+    Deterministic end-to-end (md5 member sampling + round-9 rank-on-rounded
+    with sub_id tie-break), but NON-GATE by design, like the trained
+    codebook: the interesting split behavior only appears on corpora with
+    hot-but-diverse cells, which the gate corpus doesn't produce. Pinned
+    instead by planted tests (tests/test_dedup.py::TestIvfSplit):
+    no-hot-cells identity vs the unsplit operator, spread + bounded
+    buckets + recall floor on a planted hot-diverse cone.
+
+    Known limit (disclosed): members IDENTICAL under round-9 cosine all
+    tie into one sub-bucket (nearest-sub is genuinely ambiguous) — true
+    duplicates are the dedup family's job, and ann_topk_ivf_split still
+    applies `max_cell` per refined key as the hard guard.
+
+    Returns (data, probes): data = one (vec_id, dv, dn, skey) row per
+    vector; probes = (q_id, qv, qn, skey) rows, one per probed sub-bucket.
+    """
+    from pyspark.sql import Window
+
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("_m"))
+    hot = sizes.filter(F.col("_m") > split_threshold).select("cell")
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(
+            F.concat_ws(":", F.lit("sub"), F.col("cell").cast("string"), F.col("id").cast("string"))
+        ).asc(),
+        F.col("id").asc(),
+    )
+    subs = (
+        cells.join(F.broadcast(hot), "cell")
+        .withColumn("_srk", F.row_number().over(w))
+        .filter(F.col("_srk") <= n_sub)
+        .select(
+            "cell", (F.col("_srk") - 1).alias("sub_id"),
+            F.col("v").alias("scv"), F.col("vn").alias("scn"),
+        )
+    )
+    subbook = subs.groupBy("cell").agg(
+        F.collect_list(F.struct("sub_id", "scv", "scn")).alias("subs")
+    )
+
+    def ranked_subs(vec_col: str, norm_col: str):
+        # (-round(cos,9), sub_id) struct sort == cosine DESC, sub_id ASC —
+        # byte-identical tie rule as the coarse ranking in ivf_cells
+        return F.array_sort(
+            F.transform(
+                F.col("subs"),
+                lambda s: F.struct(
+                    (-F.round(
+                        F.aggregate(
+                            F.zip_with(F.col(vec_col), s["scv"], lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x,
+                        ) / (F.col(norm_col) * s["scn"]), 9,
+                    )).alias("nk"),
+                    s["sub_id"].alias("sub_id"),
+                ),
+            )
+        )
+
+    cell_str = F.col("cell").cast("string")
+    data = (
+        cells.select(
+            F.col("id").alias("vec_id"), F.col("v").alias("dv"),
+            F.col("vn").alias("dn"), "cell",
+        )
+        .join(F.broadcast(subbook), "cell", "left")
+        .withColumn(
+            "skey",
+            F.when(F.col("subs").isNull(), cell_str).otherwise(
+                F.concat_ws(
+                    "#", cell_str,
+                    F.element_at(ranked_subs("dv", "dn"), 1)["sub_id"].cast("string"),
+                )
+            ),
+        )
+        .select("vec_id", "dv", "dn", "skey")
+    )
+    probes = (
+        cells.select(
+            F.col("id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("vn").alias("qn"), F.explode("probes").alias("cell"),
+        )
+        .join(F.broadcast(subbook), "cell", "left")
+        .withColumn(
+            "_skeys",
+            F.when(F.col("subs").isNull(), F.array(cell_str)).otherwise(
+                F.transform(
+                    F.slice(ranked_subs("qv", "qn"), 1, nprobe_sub),
+                    lambda s: F.concat_ws("#", cell_str, s["sub_id"].cast("string")),
+                )
+            ),
+        )
+        .select("q_id", "qv", "qn", F.explode("_skeys").alias("skey"))
+    )
+    return data, probes
+
+
+def ann_topk_ivf_split(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    split_threshold: int = 4096,
+    n_sub: int = 16,
+    nprobe_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+    max_cell: int | None = 256,
+) -> DataFrame:
+    """ann_topk_ivf with hot-cell sub-quantization: identical to the base
+    operator when no cell exceeds split_threshold (pinned equal in tests);
+    on skewed quantizer regions the refined 'cell#sub' keys bound the
+    candidate equi-join at ~|cell|/n_sub per bucket with recall degrading
+    gracefully via nprobe_sub (instead of the cap's hard member drop).
+    `max_cell` still applies per refined key as the last-resort guard for
+    sub-split-resistant (identical-vector) degeneracy."""
+    from pyspark.sql import Window
+
+    cells = ivf_cells(emb, n_cells, nprobe, id_col, vec_col, centroids=centroids)
+    data, qs = ivf_split_hot_cells(cells, split_threshold, n_sub, nprobe_sub)
+    if max_cell is not None:
+        wc = Window.partitionBy("skey").orderBy(
+            F.md5(F.concat_ws(":", F.lit("ivf"), F.col("vec_id").cast("string"))).asc(),
+            F.col("vec_id").asc(),
+        )
+        data = (
+            data.withColumn("_mrk", F.row_number().over(wc))
+            .filter(F.col("_mrk") <= max_cell)
+            .drop("_mrk")
+        )
+    cand = qs.join(data, "skey").filter(F.col("q_id") != F.col("vec_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "dv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = cand.select(
+        "q_id", "vec_id", F.round(dot / (F.col("qn") * F.col("dn")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
