@@ -268,3 +268,18 @@ class TestIvfSplit:
         hits = brute.intersect(approx).count()
         assert total == 240 * 5
         assert hits / total >= 0.5, hits / total
+
+    def test_split_plan_broadcasts_subbook_no_cartesian(self, spark):
+        """Plan pin (the repo's test_plans.py culture applied here): the
+        sub-codebook joins must be broadcast (per-cell dims, never a
+        shuffle of the vector table onto them) and the candidate join must
+        stay an equi-join on the refined key — no CartesianProduct beyond
+        the 1-row coarse-codebook append."""
+        from kgc.operators.dedup import ann_topk_ivf_split
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        df = ann_topk_ivf_split(emb, k=5, n_cells=8, nprobe=3, split_threshold=4)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "skey" in plan
+        assert plan.count("BroadcastExchange") >= 2, plan  # hot dim + subbook
