@@ -50,3 +50,69 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         punct_ratio.alias("punct_ratio"),
         quality.alias("quality_score"),
     )
+
+
+# Interpolated into BOTH engines' renderings (the test mirrors it in DuckDB).
+REPETITION_NGRAM = 2
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (r4) — the standard pretraining
+    quality rules the ratio features above don't catch: boilerplate and
+    template spam look like natural prose per-token but repeat themselves.
+
+    - dup_line_fraction: 1 − distinct_lines/lines ('\\n'-split, verbatim).
+    - top_bigram_fraction: occurrences of the doc's most frequent
+      lowercased word 2-gram / total 2-grams (0.0 when the doc has <2
+      words). Thresholding ~0.18 (Gopher) flags list/template spam.
+
+    Scale shape: dup_line_fraction is map-only (array_distinct per row);
+    the bigram mode NEEDS the explode → two-stage agg rendering — the
+    tempting pure higher-order form (per-distinct-gram filter scan) is
+    O(tokens²) per doc and dies on a 5k-token doc. One shuffle keyed by
+    (doc, gram) with map-side partial aggregation, then a doc-keyed join
+    that co-locates on doc_id-bucketed tables. Deterministic; mirrored in
+    DuckDB by tests/test_ops_core.py::TestRepetitionFeatures (same rigor
+    as the gate, kept out of the 57-query registry — see SURVEY §11 on
+    the harness budget).
+
+    Docs with empty/whitespace-only text are dropped (no lines/grams are
+    defined for them — the quality_features ANSI rule).
+    """
+    from kgc.operators.dedup import shingles_col
+
+    t = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    base = t.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    dup_line = F.round(
+        F.lit(1.0) - F.size(F.array_distinct("_lines")) / F.size("_lines"), 6
+    )
+    # size >= k guard BEFORE shingles_col: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]) and slice(start=0) throws — same reason doc_shingles
+    # word-count-filters first. Sub-k docs re-enter via the left join as
+    # top_bigram_fraction 0.0.
+    grams = base.filter(F.size("_w") >= REPETITION_NGRAM).select(
+        id_col, F.explode(shingles_col("_w", REPETITION_NGRAM)).alias("g")
+    )
+    top = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"))
+    )
+    return (
+        base.select(id_col, dup_line.alias("dup_line_fraction"))
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "dup_line_fraction",
+            F.round(F.coalesce(F.col("_mx") / F.col("_tot"), F.lit(0.0)), 6).alias(
+                "top_bigram_fraction"
+            ),
+        )
+    )

@@ -515,3 +515,108 @@ class TestIndWidth:
         cat = alias_catalog(spark, 0.01).filter(F.col("entity_type") == "individual")
         row = cat.filter(F.col("surface_key") == "i 0042").collect()
         assert row and row[0]["entity_id"] == "ind-0042"  # width-4 as committed
+
+
+class TestRepetitionFeatures:
+    """Gopher-style repetition quality signals (kgc/operators/curate.py,
+    r4): planted-value checks plus a full DuckDB mirror — gate-grade
+    cross-engine rigor without spending a slot in the 57-query registry."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "a b c\na b c\na b c\nd e f"),        # 4 lines, 2 distinct
+            (2, "x y x y x y x y"),                     # 'x y' dominates bigrams
+            (3, "all distinct words here now"),         # no repetition
+            (4, "single"),                              # <2 words: no bigrams
+            (5, "  "),                                  # whitespace-only: dropped
+            (6, "Mixed CASE mixed case\nMixed CASE mixed case"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_values(self, spark):
+        from kgc.operators.curate import repetition_features
+
+        got = {r["doc_id"]: r for r in repetition_features(self._docs(spark)).collect()}
+        assert set(got) == {1, 2, 3, 4, 6}  # 5 dropped
+        assert got[1]["dup_line_fraction"] == 0.5
+        # doc 2 bigrams: x y, y x, x y, y x, x y, y x, x y -> 4/7
+        assert got[2]["top_bigram_fraction"] == round(4 / 7, 6)
+        assert got[3]["dup_line_fraction"] == 0.0
+        assert got[3]["top_bigram_fraction"] == 0.25  # 4 distinct bigrams of 4
+        assert got[4]["top_bigram_fraction"] == 0.0
+        # lines compare VERBATIM (case-sensitive), bigrams lowercased:
+        assert got[6]["dup_line_fraction"] == 0.5
+        # \s+ also splits the newline: 8 words -> 7 bigrams, 'mixed case' x4
+        assert got[6]["top_bigram_fraction"] == round(4 / 7, 6)
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from kgc.operators.curate import repetition_features
+
+        pq = str(tmp_path / "docs.parquet")
+        self._docs(spark).write.parquet(pq)
+        got = sorted(map(tuple, repetition_features(spark.read.parquet(pq)).collect()))
+        want = sorted(
+            tuple(r)
+            for r in duckdb.sql(f"""
+        WITH d AS (SELECT doc_id, text FROM read_parquet('{pq}/*.parquet')
+                   WHERE length(trim(text)) > 0),
+        w AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d),
+        bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM w)
+          WHERE i < len(ws)
+        ),
+        counts AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM counts GROUP BY doc_id),
+        lines AS (
+          SELECT doc_id,
+                 len(string_split(text, chr(10))) AS nl,
+                 len(list_distinct(string_split(text, chr(10)))) AS nd
+          FROM d
+        )
+        SELECT l.doc_id,
+               round(1.0 - CAST(nd AS DOUBLE) / nl, 6) AS dup_line_fraction,
+               round(coalesce(CAST(a.mx AS DOUBLE) / a.tot, 0.0), 6) AS top_bigram_fraction
+        FROM lines l LEFT JOIN agg a USING (doc_id)
+        """).fetchall()
+        )
+        assert got == want
+
+    def test_driver_corpus_cross_engine(self, spark):
+        """Same mirror over the committed sf0.001 documents table — the
+        realistic-text regression net."""
+        import duckdb
+
+        from kgc.operators.curate import repetition_features
+
+        pq = "/root/testdata/sf0.001/documents.parquet"
+        got = sorted(map(tuple, repetition_features(spark.read.parquet(pq)).collect()))
+        want = sorted(
+            tuple(r)
+            for r in duckdb.sql(f"""
+        WITH d AS (SELECT doc_id, text FROM read_parquet('{pq}')
+                   WHERE length(trim(text)) > 0),
+        w AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM d),
+        bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM w)
+          WHERE i < len(ws)
+        ),
+        counts AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM counts GROUP BY doc_id),
+        lines AS (
+          SELECT doc_id,
+                 len(string_split(text, chr(10))) AS nl,
+                 len(list_distinct(string_split(text, chr(10)))) AS nd
+          FROM d
+        )
+        SELECT l.doc_id,
+               round(1.0 - CAST(nd AS DOUBLE) / nl, 6) AS dup_line_fraction,
+               round(coalesce(CAST(a.mx AS DOUBLE) / a.tot, 0.0), 6) AS top_bigram_fraction
+        FROM lines l LEFT JOIN agg a USING (doc_id)
+        """).fetchall()
+        )
+        assert len(got) > 0
+        assert got == want
