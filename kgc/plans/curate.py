@@ -60,14 +60,21 @@ def run_curation(
     quota: int = 0,
     budget: int = 256,
     n_shards: int | None = None,
+    max_repetition: float | None = None,
     force: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the curation DAG over `docs` (doc_id, text, lang, source, ...).
 
     `quota`: docs per language stratum kept by the sample stage; 0 disables
     sampling (keep everything that survived the filters). `n_shards=None`
-    lets pack_greedy auto-size its shards from a row probe. Returns the
-    stage tables plus the `rejects` ledger and the funnel counts.
+    lets pack_greedy auto-size its shards from a row probe.
+    `max_repetition` (r4, default off): when set, the quality stage also
+    rejects docs whose Gopher repetition signals exceed it
+    (max(dup_line_fraction, top_bigram_fraction) > max_repetition —
+    boilerplate/template spam that the ratio features score as natural
+    prose; ~0.2 is the Gopher operating point for the bigram rule).
+    Returns the stage tables plus the `rejects` ledger and the funnel
+    counts.
 
     Stage-resume fingerprint = input_fp + EVERY curation parameter
     (ADVICE r3): re-running in the same workdir with a different
@@ -75,9 +82,10 @@ def run_curation(
     not silently resume outputs computed under the old parameters."""
     os.makedirs(workdir, exist_ok=True)
     shard_tag = "auto" if n_shards is None else str(n_shards)
+    rep_tag = "off" if max_repetition is None else f"{max_repetition:g}"
     input_fp = (
         f"{input_fp}-q{min_quality:g}-bm{bench_mod}-ct{contam_threshold:g}"
-        f"-k{quota}-b{budget}-s{shard_tag}"
+        f"-k{quota}-b{budget}-s{shard_tag}-r{rep_tag}"
     )
     rejects: list[DataFrame] = []
 
@@ -95,17 +103,39 @@ def run_curation(
         # are scored 0.0 directly and fall to the quality reject ledger
         # instead of crashing the stage
         feats = quality_features(docs.filter(F.length("text") > 0))
-        return docs.join(feats.select("doc_id", "quality_score"), "doc_id", "left").withColumn(
+        out = docs.join(feats.select("doc_id", "quality_score"), "doc_id", "left").withColumn(
             "quality_score", F.coalesce("quality_score", F.lit(0.0))
         )
+        if max_repetition is not None:
+            from kgc.operators.curate import repetition_features
+
+            rep = repetition_features(docs).select(
+                "doc_id",
+                F.greatest("dup_line_fraction", "top_bigram_fraction").alias("rep_score"),
+            )
+            out = out.join(rep, "doc_id", "left").withColumn(
+                "rep_score", F.coalesce("rep_score", F.lit(0.0))
+            )
+        return out
 
     scored = _stage(spark, workdir, "quality", input_fp, build_quality,
                     bucket_by="doc_id", force=force)
-    kept_q = scored.filter(F.col("quality_score") >= min_quality)
+    keep_pred = F.col("quality_score") >= min_quality
+    if max_repetition is not None:
+        keep_pred = keep_pred & (F.col("rep_score") <= max_repetition)
+    kept_q = scored.filter(keep_pred)
     reject(
-        scored.filter(F.col("quality_score") < min_quality),
+        scored.filter(~keep_pred),
         "quality",
-        F.concat(F.lit("quality_score="), F.col("quality_score").cast("string")),
+        F.when(
+            F.col("quality_score") < min_quality,
+            F.concat(F.lit("quality_score="), F.col("quality_score").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("rep_score="),
+                (F.col("rep_score") if max_repetition is not None else F.lit(0.0)).cast("string"),
+            )
+        ),
     )
 
     # -- exact_dedup: keep the min doc_id of each identical-content group ---
@@ -239,6 +269,10 @@ def main() -> None:
                     help="drop training docs at/above this benchmark containment")
     ap.add_argument("--shards", type=int, default=None,
                     help="pack_greedy shard count (default: auto-sized from a row probe)")
+    ap.add_argument("--max-repetition", type=float, default=None,
+                    help="also reject docs whose Gopher repetition score "
+                         "(max of dup-line and top-bigram fraction) exceeds this "
+                         "(off by default; ~0.2 is the Gopher operating point)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -268,7 +302,7 @@ def main() -> None:
         spark, args.workdir, docs, input_fp=fp,
         min_quality=args.min_quality, quota=args.quota, budget=args.budget,
         bench_mod=args.bench_mod, contam_threshold=args.contam_threshold,
-        n_shards=args.shards, force=args.force,
+        n_shards=args.shards, max_repetition=args.max_repetition, force=args.force,
     )
     n_in = docs.count()
     n_out = tables["corpus"].count()

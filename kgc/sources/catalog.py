@@ -125,6 +125,17 @@ def write_table(
         if sorted_files:
             writer = writer.sortWithinPartitions(*df.columns)
         writer.write.mode(mode).partitionBy("bucket").parquet(path)
+        # A dynamic-partition write of ZERO rows emits no data files at all
+        # (only _SUCCESS), so a later read can't infer the schema — an empty
+        # stage output is legitimate (aggressive quality/dedup filters can
+        # clear a corpus) and must stay readable. Plain (non-partitioned)
+        # empty writes DO emit a schema-only footer file; append one.
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            df.sparkSession.createDataFrame([], df.schema).repartition(1).write.mode(
+                "append"
+            ).parquet(path)
     else:
         df.write.mode(mode).parquet(path)
 

@@ -150,3 +150,46 @@ def test_param_change_invalidates_stage_resume(spark, tmp_path_factory):
     # and re-running with the ORIGINAL params resumes the original outputs
     t3 = run_curation(spark, wd, docs, input_fp="fp", quota=3)
     assert t3["corpus"].count() == n1
+
+
+def test_repetition_gate_rejects_template_spam(spark, tmp_path_factory):
+    """r4 op-59 wired into the DAG: with max_repetition set, a planted
+    template-spam doc (high top-bigram fraction, fine ratio features)
+    falls at the quality stage with a rep_score reason; with the gate off
+    (default) it survives — and the default path is byte-stable vs r3."""
+    spam = (901, "the cat the cat the cat the cat the cat the cat the cat", "en")
+    docs = _mk_docs(spark).unionByName(
+        spark.createDataFrame([spam], "doc_id long, text string, lang string")
+    )
+    wd_off = str(tmp_path_factory.mktemp("rep_off"))
+    t_off = run_curation(spark, wd_off, docs, input_fp="fp")
+    assert 901 in {r["doc_id"] for r in t_off["corpus"].select("doc_id").collect()}
+
+    # 0.4 sits between the stopword-rich fixture fillers ("the is of" x7
+    # gives top-bigram 7/27 ≈ 0.26) and the spam plant ("the cat" x7 of 13
+    # bigrams ≈ 0.54) — only the plant falls
+    wd_on = str(tmp_path_factory.mktemp("rep_on"))
+    t_on = run_curation(spark, wd_on, docs, input_fp="fp", max_repetition=0.4)
+    stage_of = {r["doc_id"]: (r["stage"], r["reason"]) for r in t_on["rejects"].collect()}
+    assert stage_of[901][0] == "quality"
+    assert stage_of[901][1].startswith("rep_score=")
+    # the planted-corpus survivors are otherwise unchanged
+    assert {r["doc_id"] for r in t_on["corpus"].select("doc_id").collect()} == {
+        r["doc_id"] for r in t_off["corpus"].select("doc_id").collect()
+    } - {901}
+
+
+def test_empty_stage_output_is_readable_and_resumable(spark, tmp_path_factory):
+    """r4: a stage that filters EVERYTHING (min_quality above every score)
+    must produce a readable empty table and resume cleanly — previously the
+    bucketed dynamic-partition write of zero rows emitted no schema-bearing
+    file and the next read threw UNABLE_TO_INFER_SCHEMA."""
+    docs = _mk_docs(spark)
+    wd = str(tmp_path_factory.mktemp("curate_empty"))
+    t = run_curation(spark, wd, docs, input_fp="fp", min_quality=99.0)
+    assert t["corpus"].count() == 0
+    assert t["packs"].count() == 0
+    assert t["rejects"].count() == docs.count()  # everything ledgered
+    # resume over the empty checkpoints works too
+    t2 = run_curation(spark, wd, docs, input_fp="fp", min_quality=99.0)
+    assert t2["corpus"].count() == 0
