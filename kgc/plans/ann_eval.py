@@ -33,6 +33,79 @@ def _recall(got, gt_sets, k: int) -> float:
     return round(total / (k * len(gt_sets)), 4)
 
 
+def skewed_corpus(spark, n: int, dim: int = 8, hot_per_10: int = 7):
+    """Deterministic SKEWED embedding corpus (r4): `hot_per_10`/10 of the
+    vectors live in a narrow cone around e0 (one coarse cell swallows them
+    — the hot-quantizer case) but are angularly DIVERSE inside it
+    (integer-hash wobble), the rest spread over the space. All components
+    are xxhash64-derived (no rand(), CLAUDE.md determinism rule)."""
+    hot = F.pmod(F.col("vec_id"), F.lit(10)) < hot_per_10
+
+    def comp(j: int):
+        wobble = F.pmod(F.xxhash64(F.lit(j), F.col("vec_id")), F.lit(23)).cast("double")
+        spread = (
+            F.pmod(F.xxhash64(F.lit(100 + j), F.col("vec_id")), F.lit(101)) - 50
+        ).cast("double")
+        hot_c = F.lit(100.0) if j == 0 else wobble
+        tail_c = (spread + 1) if j == 0 else spread
+        return F.when(hot, hot_c).otherwise(tail_c)
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(j) for j in range(dim)]).alias("embedding"),
+    )
+
+
+def run_skewed(spark, n: int, k: int) -> dict:
+    """Cap-vs-split operating points on the skewed corpus: ground truth on
+    a deterministic query sample (queries × ALL data — the sampled-GT
+    method of the recall harnesses), candidates from the full index."""
+    from pyspark.sql import Window
+
+    from kgc.operators.dedup import _exact_cosine, ann_topk_ivf, ann_topk_ivf_split
+
+    emb = skewed_corpus(spark, n).localCheckpoint(eager=True)
+    q_sample = F.pmod(F.xxhash64(F.lit("q"), F.col("vec_id")), F.lit(10)) == 0
+    out: dict = {"mode": "skewed", "n_vectors": n, "k": k,
+                 "n_queries": emb.filter(q_sample).count()}
+
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select(F.col("vec_id").alias("id"), vec.alias("v"))
+    a = e.filter(F.pmod(F.xxhash64(F.lit("q"), F.col("id")), F.lit(10)) == 0).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv")
+    )
+    b = e.select(F.col("id").alias("vec_id"), F.col("v").alias("v"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    t0 = time.time()
+    gt = (
+        a.crossJoin(b).filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.round(_exact_cosine("qv", "v"), 6).alias("cosine"))
+        .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+        .select("q_id", "vec_id").collect()
+    )
+    out["brute_sampled_sec"] = round(time.time() - t0, 2)
+    gt_sets: dict = {}
+    for r in gt:
+        gt_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    def timed(name, df):
+        t0 = time.time()
+        got = [r for r in df.select("q_id", "vec_id").collect() if r["q_id"] in gt_sets]
+        out[f"{name}_sec"] = round(time.time() - t0, 2)
+        out[f"{name}_recall"] = _recall(got, gt_sets, k)
+
+    common = dict(k=k, n_cells=16, nprobe=4)
+    timed("ivf_uncapped", ann_topk_ivf(emb, max_cell=None, **common))
+    timed("ivf_capped64", ann_topk_ivf(emb, max_cell=64, **common))
+    timed(
+        "ivf_split",
+        ann_topk_ivf_split(
+            emb, split_threshold=256, n_sub=16, nprobe_sub=6, max_cell=None, **common
+        ),
+    )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.1)
@@ -40,8 +113,19 @@ def main() -> None:
     ap.add_argument("--n-cells", type=int, default=20)
     ap.add_argument("--nprobe", type=int, default=12)
     ap.add_argument("--lsh-bands", type=int, default=4)
+    ap.add_argument("--skewed", type=int, default=0, metavar="N",
+                    help="instead of the driver corpus, run the cap-vs-split "
+                         "comparison on an N-vector deterministic skewed corpus")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
+
+    if args.skewed:
+        from kgc.session import get_spark
+
+        spark = get_spark(app_name="kgc-ann-eval-skewed", cpus=args.cpus)
+        print(json.dumps(run_skewed(spark, args.skewed, args.k)))
+        spark.stop()
+        return
 
     from kgc.operators.dedup import (
         _exact_cosine,
