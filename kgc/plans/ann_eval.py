@@ -167,13 +167,24 @@ def main() -> None:
         out[f"{name}_sec"] = round(time.time() - t0, 2)
         out[f"{name}_recall"] = _recall(got, gt_sets, k)
 
-    timed("ivf_hash", ann_topk_ivf(emb, k=k, n_cells=args.n_cells, nprobe=args.nprobe))
+    # max_cell=None explicitly (ADVICE r4): the operator's default is now
+    # capped (256), which on a skewed hash-sampled codebook could silently
+    # shift recall/latency vs the uncapped operating points recorded in
+    # BENCH/BASELINE.md §4 — this path measures the UNCAPPED baselines; the
+    # cap-vs-split comparison lives in --skewed mode.
+    timed(
+        "ivf_hash",
+        ann_topk_ivf(emb, k=k, n_cells=args.n_cells, nprobe=args.nprobe, max_cell=None),
+    )
     t0 = time.time()
     cents = train_ivf_centroids(emb, n_cells=args.n_cells)
     out["kmeans_train_sec"] = round(time.time() - t0, 2)
     timed(
         "ivf_kmeans",
-        ann_topk_ivf(emb, k=k, n_cells=args.n_cells, nprobe=args.nprobe, centroids=cents),
+        ann_topk_ivf(
+            emb, k=k, n_cells=args.n_cells, nprobe=args.nprobe,
+            centroids=cents, max_cell=None,
+        ),
     )
     timed("srp_lsh", ann_topk_lsh(emb, k=k, bands=args.lsh_bands))
 

@@ -13,9 +13,25 @@ configs, not code:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import SparkSession
+
+
+def _warehouse_dir() -> str:
+    """Per-process managed-table warehouse, nested under one parent so
+    purge routines (and `rm -rf /tmp/kgc-spark-warehouse`) cover every
+    process's leftovers, with a best-effort atexit cleanup of this
+    process's own dir. KGC_WAREHOUSE_DIR overrides (no auto-cleanup then —
+    the caller owns an explicit path)."""
+    explicit = os.environ.get("KGC_WAREHOUSE_DIR")
+    if explicit:
+        return explicit
+    path = f"/tmp/kgc-spark-warehouse/{os.getpid()}"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def _default_driver_mem() -> str:
@@ -68,12 +84,10 @@ def get_spark(
         # sessions on the same host saveAsTable'd the same table names
         # (t_bucket_a/...); pid-suffixing isolates them while staying stable
         # across get_spark() calls within one process (getOrCreate reuse).
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get(
-                "KGC_WAREHOUSE_DIR", f"/tmp/kgc-spark-warehouse-{os.getpid()}"
-            ),
-        )
+        # Nested under ONE parent + cleaned at exit (ADVICE r4): the r3
+        # flat-suffix layout leaked a dir per process forever, and stale
+        # /tmp data is this host's documented perf trap (BENCH §3).
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -38,11 +38,27 @@ from pyspark.sql import functions as F
 _COMPACTED_BATCH_ID = -1  # sentinel batch_id for rows produced by compaction
 
 
+def _recover_orphan(path: str) -> None:
+    """Crash recovery for _swap_rewrite (ADVICE r4): a crash between its two
+    renames leaves the ONLY surviving copy of a sink at
+    `path + '.compact-old'` and nothing at `path`. Every read_* helper
+    treats a missing dir as an empty sink, so without this a resumed drain
+    would see an empty registry, re-register all history (double-counting
+    n), and the next compaction's rmtree of .compact-old would permanently
+    delete the last copy. Roll the orphan back before any read or rewrite;
+    when `path` exists, .compact-old is just the stale pre-swap copy and the
+    next _swap_rewrite removes it."""
+    old = path.rstrip("/") + ".compact-old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
 def read_registry(spark: SparkSession, registry_dir: str) -> DataFrame:
     """Compacted content registry: (content_hash, n, keep_doc_id) — the
     merge-on-read over appended per-batch partials. distinct() absorbs
     at-least-once replays (replayed partials are byte-identical, keyed by
     batch_id)."""
+    _recover_orphan(registry_dir)
     if not os.path.isdir(registry_dir):
         return spark.createDataFrame(
             [], "content_hash string, n long, keep_doc_id string"
@@ -61,6 +77,7 @@ def read_registry(spark: SparkSession, registry_dir: str) -> DataFrame:
 def read_uniques(spark: SparkSession, uniques_dir: str) -> DataFrame:
     """First-seen documents: (content_hash, first_doc_id). One row per
     distinct content hash across the stream's lifetime."""
+    _recover_orphan(uniques_dir)
     if not os.path.isdir(uniques_dir):
         return spark.createDataFrame([], "content_hash string, first_doc_id string")
     return (
@@ -144,6 +161,7 @@ def streaming_exact_dedup(
     q.awaitTermination()
     if compact:
         compact_registry(spark, registry_dir)
+        compact_uniques(spark, uniques_dir)
     return read_registry(spark, registry_dir)
 
 
@@ -152,6 +170,7 @@ def read_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
     band_key) rows accumulated across batches (each doc posts once per
     band; the distinct absorbs at-least-once replays, whose appended rows
     are byte-identical)."""
+    _recover_orphan(postings_dir)
     if not os.path.isdir(postings_dir):
         return spark.createDataFrame([], "id long, band_idx int, band_key string")
     return spark.read.parquet(postings_dir).select("id", "band_idx", "band_key").distinct()
@@ -160,6 +179,7 @@ def read_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
 def read_candidate_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """Distinct near-dup candidate pairs (id_a < id_b) emitted so far —
     input to a downstream batch Jaccard verify (dd_jaccard machinery)."""
+    _recover_orphan(pairs_dir)
     if not os.path.isdir(pairs_dir):
         return spark.createDataFrame([], "id_a long, id_b long")
     return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
@@ -309,6 +329,7 @@ def read_contamination_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """Accumulated (train_id, bench_id, n_common, containment) rows.
     distinct() absorbs at-least-once replays (replayed rows are
     byte-identical, keyed by batch_id before the projection)."""
+    _recover_orphan(pairs_dir)
     if not os.path.isdir(pairs_dir):
         return spark.createDataFrame(
             [], "train_id long, bench_id long, n_common long, containment double"
@@ -431,10 +452,19 @@ def streaming_decontam(
 
 def _swap_rewrite(df: DataFrame, path: str) -> None:
     """Materialize `df` (which may read from `path`) into a temp dir, then
-    swap it in place of `path` via two renames."""
+    swap it in place of `path` via two renames.
+
+    Crash-safety (ADVICE r4): a crash BETWEEN the two renames leaves the
+    sole copy at `.compact-old` with nothing at `path`. _recover_orphan
+    (called here and by every read_* helper, so `df` was never built from
+    the orphaned-empty state) rolls it back before anything destructive;
+    the rmtree of a stale `.compact-old` only ever runs when `path` exists,
+    i.e. when the old dir really is a superseded copy."""
     tmp, old = path.rstrip("/") + ".compact-tmp", path.rstrip("/") + ".compact-old"
+    _recover_orphan(path)
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):  # never drop .compact-old unless path survives
+        shutil.rmtree(old, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)  # materializes BEFORE the swap
     os.rename(path, old)
     os.rename(tmp, path)
@@ -452,6 +482,21 @@ def compact_registry(spark: SparkSession, registry_dir: str) -> None:
         "content_hash", "n", F.col("keep_doc_id").alias("min_doc"),
     )
     _swap_rewrite(merged, registry_dir)
+
+
+def compact_uniques(spark: SparkSession, uniques_dir: str) -> None:
+    """Rewrite the uniques sink to one row per content hash (ADVICE r4 —
+    previously the only sink without a compactor: byte-identical replayed
+    rows accumulated and read_uniques stayed a distinct over full
+    history)."""
+    _recover_orphan(uniques_dir)
+    if not os.path.isdir(uniques_dir):
+        return
+    merged = read_uniques(spark, uniques_dir).select(
+        F.lit(_COMPACTED_BATCH_ID).cast("long").alias("batch_id"),
+        "content_hash", "first_doc_id",
+    )
+    _swap_rewrite(merged, uniques_dir)
 
 
 def compact_postings(spark: SparkSession, postings_dir: str) -> None:

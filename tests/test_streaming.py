@@ -536,6 +536,72 @@ class TestSinkCompaction:
             < spark.read.parquet(str(a / "reg")).count()
         )
 
+    def test_swap_crash_orphan_is_recovered(self, spark, tmp_path):
+        """ADVICE r4 (medium): a crash between _swap_rewrite's two renames
+        leaves the only copy at `.compact-old` and NOTHING at the sink
+        path. Reads must roll the orphan back (not silently return empty),
+        and a re-run compaction must not rmtree the last surviving copy."""
+        import os
+
+        from kgc.streaming.dedup import compact_registry, read_registry
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i % 5}") for i in range(20)], "doc_id long, text string"
+        )
+        self._drain_exact(spark, tmp_path, docs, 0, 20)
+        reg_dir = str(tmp_path / "reg")
+        before = sorted(map(tuple, read_registry(spark, reg_dir).collect()))
+        assert before  # non-empty baseline
+
+        # simulate the crash window: first rename done, second never ran
+        os.rename(reg_dir, reg_dir + ".compact-old")
+        assert not os.path.isdir(reg_dir)
+
+        # read-side recovery: full rowset back, orphan dir consumed
+        assert sorted(map(tuple, read_registry(spark, reg_dir).collect())) == before
+        assert os.path.isdir(reg_dir)
+        assert not os.path.isdir(reg_dir + ".compact-old")
+
+        # compactor-side recovery: orphan again, then compact directly —
+        # must recover, rewrite, and leave no debris or data loss
+        os.rename(reg_dir, reg_dir + ".compact-old")
+        compact_registry(spark, reg_dir)
+        assert sorted(map(tuple, read_registry(spark, reg_dir).collect())) == before
+        assert not os.path.isdir(reg_dir + ".compact-old")
+
+    def test_uniques_compaction(self, spark, tmp_path):
+        """ADVICE r4: the uniques sink gets the same compactor as the other
+        three — equal-on-read, idempotent, strictly smaller raw log, and a
+        post-compaction drain still appends/reads correctly."""
+        from kgc.streaming.dedup import compact_uniques, read_uniques
+
+        # repeat contents across three drains so replay-identical unique
+        # rows CANNOT occur but the raw log still holds per-batch appends
+        docs = spark.createDataFrame(
+            [(i, f"text {i % 8}") for i in range(48)], "doc_id long, text string"
+        )
+        self._drain_exact(spark, tmp_path, docs, 0, 16)
+        self._drain_exact(spark, tmp_path, docs, 16, 32)
+        unq_dir = str(tmp_path / "unq")
+        before = sorted(map(tuple, read_uniques(spark, unq_dir).collect()))
+        # pad the log with a byte-identical replayed append (the
+        # at-least-once case whose accumulation motivated the compactor)
+        spark.read.parquet(unq_dir).write.mode("append").parquet(unq_dir + ".copy")
+        spark.read.parquet(unq_dir + ".copy").write.mode("append").parquet(unq_dir)
+        raw_before = spark.read.parquet(unq_dir).count()
+
+        compact_uniques(spark, unq_dir)
+        assert sorted(map(tuple, read_uniques(spark, unq_dir).collect())) == before
+        raw_after = spark.read.parquet(unq_dir).count()
+        assert raw_after == len(before) < raw_before
+
+        compact_uniques(spark, unq_dir)  # idempotent
+        assert spark.read.parquet(unq_dir).count() == raw_after
+
+        # resumed drain after compaction: only genuinely-new hashes append
+        self._drain_exact(spark, tmp_path, docs, 32, 48)
+        assert sorted(map(tuple, read_uniques(spark, unq_dir).collect())) == before
+
     def test_construct_split_sink_and_pending_compaction(self, spark, tmp_path):
         """Construction-sink compaction: the foreachBatch-mode triples sink
         compacts to its natural-key MERGE form, the pending sink to its
