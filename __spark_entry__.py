@@ -2040,21 +2040,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Dict ORDER is load-bearing (SURVEY.md §8): the driver's correctness
-# harness executes queries() in insertion order and stopped at exactly 50
-# of 57 in r3 (r1 ran all 41, r2 all 42 — the cap was never hit before),
-# leaving the tail 7 without a driver row. All 57 run locally in ~30 s
+# harness executes queries() in insertion order and runs exactly the first
+# 50 (r3/r4 evidence; r1 ran all 41, r2 all 42 — the cap was never hit
+# before). All queries run locally every session
 # (tests/test_entry_contract.py is the bit-exact twin of the gate), so the
-# cutoff is a harness budget, not query cost. Rotation policy: the 7
-# queries the driver has never (or least recently) verified are placed
-# INSIDE the first 50; the 7 demoted to the tail are chosen so every
-# SURVEY §2 operator keeps at least one in-budget covering query
-# (rel_cube/rel_pivot → op-27 still covered by rel_rollup+rel_unpivot;
-# rel_running_total → window kit via rel_window_kit/rel_topk/rel_sessionize;
-# rel_set_ops → op-36 via kg_triples; rel_salted_dedup → op-29 via
-# dd_exact_hash+dd_dup_clusters; rel_asof_last_event → op-18/40 via
-# kg_attribution+rel_sessionize; ts_lang_id → op-38 via
-# ts_text_stats+ts_fingerprint), and each demoted query is 3-rounds
-# driver-green (r1–r3) plus locally contract-verified every run.
+# cutoff is a harness budget, not query cost.
+#
+# ROTATION CADENCE (codified r5, VERDICT r4 #1): the registry alternates
+# two sit-out sets on a two-round cycle so no query ever goes more than
+# TWO rounds without a driver row, and never-driver-verified queries
+# always enter the window first:
+#   - set A (sat out r4, IN for r5, out again r6): rel_cube_lineitem,
+#     rel_pivot_orders, rel_running_total, rel_set_ops, rel_salted_dedup,
+#     rel_asof_last_event, ts_lang_id — each 3× driver-green r1–r3 and
+#     would have gone 2 rounds stale had they sat out r5.
+#   - set B (driver-green r4, OUT for r5, back in r6): mm_media_features,
+#     mm_frame_samples, stream_window_counts, stream_construct_triples,
+#     stream_dedup_registry, stream_neardup_pairs, stream_decontaminate,
+#     plus rel_rollup_lineitem, rel_unpivot_orders, rel_window_kit (also
+#     r4-green) demoted to make room for r5's new queries.
+# Every SURVEY §2 operator keeps an in-window covering query under this
+# split: op-27 ← rel_cube+rel_pivot (rollup/unpivot out); window kit ←
+# rel_topk/rel_running_total/rel_sessionize (rel_window_kit out); op-44
+# streaming ← stream_quality_docs (new, never verified — in); multimodal
+# op-13 ← kg_media_mentions, op-47 ← cur_pack_greedy (mm_* out).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_spans_flat": q_kg_spans_flat,
         "kg_roundtrip_spans": q_kg_roundtrip_spans,
@@ -2071,27 +2080,24 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_recommend": q_kg_recommend,
         "kg_events_similar_users": q_kg_events_similar_users,
         "sql_api_parity": q_sql_api_parity,
-        # -- rotated IN for r4 (no driver row yet / stale since r2) --------
-        "mm_media_features": q_mm_media_features,
-        "mm_frame_samples": q_mm_frame_samples,
-        "stream_window_counts": q_stream_window_counts,
-        "stream_construct_triples": q_stream_construct_triples,
-        "stream_dedup_registry": q_stream_dedup_registry,
-        "stream_neardup_pairs": q_stream_neardup_pairs,
-        "stream_decontaminate": q_stream_decontaminate,
+        # -- set A: rotated IN for r5 (last driver row r3) ------------------
+    "rel_cube_lineitem": q_rel_cube_lineitem,
+    "rel_pivot_orders": q_rel_pivot_orders,
+    "rel_running_total": q_rel_running_total,
+        "rel_set_ops": q_rel_set_ops,
+        "rel_salted_dedup": q_rel_salted_dedup,
+        "rel_asof_last_event": q_rel_asof_last_event,
+        "ts_lang_id": q_ts_lang_id,
         # ------------------------------------------------------------------
         "rel_topk_orders_per_cust": q_rel_topk_orders_per_cust,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
-        "rel_rollup_lineitem": q_rel_rollup_lineitem,
         "rel_salted_join": q_rel_salted_join,
     "rel_sessionize": q_rel_sessionize,
         "rel_from_json_events": q_rel_from_json_events,
         "rel_quantiles_lineitem": q_rel_quantiles_lineitem,
         "gr_triangle_counts": q_gr_triangle_counts,
         "gr_pagerank": q_gr_pagerank,
-        "rel_window_kit": q_rel_window_kit,
-        "rel_unpivot_orders": q_rel_unpivot_orders,
         "dd_exact_hash": q_dd_exact_hash,
         "dd_minhash_buckets": q_dd_minhash_buckets,
         "dd_minhash_banded": q_dd_minhash_banded,
@@ -2108,14 +2114,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cur_diversity_sample": q_cur_diversity_sample,
         "ts_text_stats": q_ts_text_stats,
         "ts_fingerprint": q_ts_fingerprint,
-        # -- rotated OUT for r4 (3× driver-green r1–r3; ops covered above) -
-    "rel_cube_lineitem": q_rel_cube_lineitem,
-    "rel_pivot_orders": q_rel_pivot_orders,
-    "rel_running_total": q_rel_running_total,
-        "rel_set_ops": q_rel_set_ops,
-        "rel_salted_dedup": q_rel_salted_dedup,
-        "rel_asof_last_event": q_rel_asof_last_event,
-        "ts_lang_id": q_ts_lang_id,
+        # -- set B: rotated OUT for r5 (all driver-green r4; ops covered) --
+        "mm_media_features": q_mm_media_features,
+        "mm_frame_samples": q_mm_frame_samples,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_construct_triples": q_stream_construct_triples,
+        "stream_dedup_registry": q_stream_dedup_registry,
+        "stream_neardup_pairs": q_stream_neardup_pairs,
+        "stream_decontaminate": q_stream_decontaminate,
+        "rel_rollup_lineitem": q_rel_rollup_lineitem,
+        "rel_window_kit": q_rel_window_kit,
+        "rel_unpivot_orders": q_rel_unpivot_orders,
     }
 
 
