@@ -1702,6 +1702,64 @@ FROM documents
 """
 
 
+# op-60: both engines derive from the COMMITTED vocab file (the data/oracle
+# pattern) — Spark closes the UDF over it, the oracle inlines it as VALUES
+# (the SRP-planes-as-literals trick).
+from kgc.operators.tokenize import load_vocab as _load_vocab  # noqa: E402
+
+_SUBWORD_VOCAB = _load_vocab(os.path.join(REPO, "data", "vocab", "subword_vocab_v1.txt"))
+
+
+def q_ts_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fidelity counting (op-60): greedy longest-match subword
+    count over the committed vocab next to the whitespace-proxy count —
+    the per-doc budget-drift surface pack_greedy's tokenizer='subword'
+    packs against. Iterator pandas UDF with a per-worker distinct-word
+    cache (kgc/operators/tokenize.py)."""
+    from kgc.operators.tokenize import subword_count_udf
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        subword_count_udf(_SUBWORD_VOCAB)(F.col("text")).alias("n_subword_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def _build_subword_oracle_sql() -> str:
+    """DuckDB mirror of the longest-match loop as a recursive CTE: each
+    round advances every still-unfinished DISTINCT word by one token
+    (step = longest vocab match at the cursor, else 1 char), then the
+    per-word counts join back onto word occurrences and sum per doc.
+    Rounds = max tokens in any word — bounded by max word length."""
+    vals = ", ".join(f"('{t}')" for t in _SUBWORD_VOCAB)
+    return f"""
+WITH RECURSIVE vocab(token) AS (SELECT * FROM (VALUES {vals})),
+words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+),
+dw(word) AS (SELECT DISTINCT word FROM words),
+st(word, pos, n_tok) AS (
+  SELECT word, 1, 0 FROM dw
+  UNION ALL
+  SELECT st.word,
+         st.pos + coalesce((SELECT max(length(v.token)) FROM vocab v
+                            WHERE substr(st.word, st.pos, length(v.token)) = v.token), 1),
+         st.n_tok + 1
+  FROM st WHERE st.pos <= length(st.word)
+),
+wtok AS (SELECT word, n_tok FROM st WHERE pos = length(word) + 1),
+per_doc AS (
+  SELECT w.doc_id, sum(t.n_tok) AS n_sub
+  FROM words w JOIN wtok t USING (word) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_sub, 0) AS BIGINT) AS n_subword_tokens,
+       CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_ws_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # cur_* — corpus curation (decontamination, stratified sampling, packing)
 # ---------------------------------------------------------------------------
@@ -2114,6 +2172,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cur_diversity_sample": q_cur_diversity_sample,
         "ts_text_stats": q_ts_text_stats,
         "ts_fingerprint": q_ts_fingerprint,
+        # -- NEW in r5 (never driver-verified → in-window by the cadence) --
+        "ts_subword_tokens": q_ts_subword_tokens,
         # -- set B: rotated OUT for r5 (all driver-green r4; ops covered) --
         "mm_media_features": q_mm_media_features,
         "mm_frame_samples": q_mm_frame_samples,
@@ -2180,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_text_stats": _TEXT_STATS_SQL,
         "ts_lang_id": _LANG_ID_SQL,
         "ts_fingerprint": _FINGERPRINT_SQL,
+        "ts_subword_tokens": _build_subword_oracle_sql(),
         "mm_media_features": _MM_SQL,
         "mm_frame_samples": _MM_FRAMES_SQL,
         "stream_window_counts": _STREAM_SQL,

@@ -20,12 +20,21 @@ BPE_RE = r"('s|'t|'re|'ve|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
 BPE_RE_SQL = BPE_RE.replace("'", "''")  # escaped for the SQL string literal
 
 
-def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+) -> DataFrame:
     """(doc_id, n_chars, n_tokens, n_bpe_tokens, stopword_ratio,
     punct_ratio, quality_score) — whitespace + BPE-ish token counts,
     stopword/punctuation ratios, and the composite quality heuristic
     (reward stopword presence = natural prose; penalize punctuation soup
-    and extreme lengths)."""
+    and extreme lengths).
+
+    ``vocab`` (op-60, opt-in) appends an n_subword_tokens column — the
+    longest-match count a token-budgeted consumer actually pays. Default
+    None keeps the gate schema bit-identical."""
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tok = F.size(tokens)
     n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 1))
@@ -41,7 +50,7 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         * F.when((n_tok >= 5) & (n_tok <= 5000), 1.0).otherwise(0.2),
         6,
     )
-    return docs.select(
+    cols = [
         id_col,
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -49,7 +58,12 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         quality.alias("quality_score"),
-    )
+    ]
+    if vocab is not None:
+        from kgc.operators.tokenize import subword_count_col
+
+        cols.append(subword_count_col(vocab, text_col).alias("n_subword_tokens"))
+    return docs.select(*cols)
 
 
 # Interpolated into BOTH engines' renderings (the test mirrors it in DuckDB).

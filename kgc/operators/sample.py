@@ -116,6 +116,8 @@ def pack_greedy(
     id_col: str = "doc_id",
     text_col: str = "text",
     target_rows_per_shard: int = PACK_TARGET_ROWS_PER_SHARD,
+    tokenizer: str = "ws",
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Token-budget sequence packing: assign docs to bins of at most
     `budget` whitespace tokens via the greedy first-overflow fold, inside
@@ -126,6 +128,14 @@ def pack_greedy(
     t = min(n_tokens, budget) (an over-budget doc occupies a bin alone);
     if fill + t > budget a new bin starts. Token count = the ts_text_stats
     whitespace rule: len(split(trim(text), '\\s+')); NULL text counts 0.
+
+    ``tokenizer='subword'`` (op-60, r5) swaps the counter for the greedy
+    longest-match subword count over ``vocab`` (required then) — the
+    tokenizer-fidelity path a real training pipeline budgets against; the
+    regex proxy under-counts vs subword by the drift measured in
+    SURVEY.md §12. Everything downstream (shard, fold, bin rule) is
+    identical; the gate query pins tokenizer='ws' so the contract is
+    untouched.
 
     `n_shards=None` (the default) AUTO-SIZES the shard count from a
     deterministic row-count probe: ceil(rows / target_rows_per_shard),
@@ -153,12 +163,22 @@ def pack_greedy(
     if n_shards is None:
         n_rows = docs.count()
         n_shards = max(1, -(-n_rows // target_rows_per_shard))
-    # NULL text => 0 tokens (pinned; mirrored as coalesce(len(...), 0) in the
-    # oracle). Without the coalesce, size(split(NULL)) is NULL, which reaches
-    # the pandas fold as NaN and int(NaN) raises (ADVICE r3).
-    n_tok = F.coalesce(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long"), F.lit(0).cast("long")
-    )
+    if tokenizer == "subword":
+        if vocab is None:
+            raise ValueError("tokenizer='subword' requires an explicit vocab list")
+        from kgc.operators.tokenize import subword_count_col
+
+        n_tok = subword_count_col(vocab, text_col)  # NULL text → 0 inside the UDF
+    elif tokenizer == "ws":
+        # NULL text => 0 tokens (pinned; mirrored as coalesce(len(...), 0) in
+        # the oracle). Without the coalesce, size(split(NULL)) is NULL, which
+        # reaches the pandas fold as NaN and int(NaN) raises (ADVICE r3).
+        n_tok = F.coalesce(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (expected 'ws' or 'subword')")
     base = docs.select(
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard_id"),
         F.col(id_col).cast("long").alias("id"),

@@ -61,6 +61,8 @@ def run_curation(
     budget: int = 256,
     n_shards: int | None = None,
     max_repetition: float | None = None,
+    tokenizer: str = "ws",
+    vocab: list[str] | None = None,
     force: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the curation DAG over `docs` (doc_id, text, lang, source, ...).
@@ -73,6 +75,12 @@ def run_curation(
     (max(dup_line_fraction, top_bigram_fraction) > max_repetition —
     boilerplate/template spam that the ratio features score as natural
     prose; ~0.2 is the Gopher operating point for the bigram rule).
+    `tokenizer='subword'` (op-60, r5, default 'ws') packs against the
+    greedy longest-match subword count over `vocab` instead of the
+    whitespace proxy — the budget a token-budgeted trainer actually pays;
+    both the tokenizer name and a vocab digest fold into the shared stage
+    fingerprint (the ADVICE-r3 rule: parameter changes must invalidate
+    stage manifests, never silently resume stale outputs).
     Returns the stage tables plus the `rejects` ledger and the funnel
     counts.
 
@@ -83,9 +91,15 @@ def run_curation(
     os.makedirs(workdir, exist_ok=True)
     shard_tag = "auto" if n_shards is None else str(n_shards)
     rep_tag = "off" if max_repetition is None else f"{max_repetition:g}"
+    if tokenizer == "ws":
+        tok_tag = "ws"
+    else:  # vocab CONTENT is a parameter too: digest it into the fingerprint
+        import hashlib
+
+        tok_tag = f"{tokenizer}-{hashlib.md5(chr(10).join(vocab or []).encode()).hexdigest()[:8]}"
     input_fp = (
         f"{input_fp}-q{min_quality:g}-bm{bench_mod}-ct{contam_threshold:g}"
-        f"-k{quota}-b{budget}-s{shard_tag}-r{rep_tag}"
+        f"-k{quota}-b{budget}-s{shard_tag}-r{rep_tag}-t{tok_tag}"
     )
     rejects: list[DataFrame] = []
 
@@ -209,9 +223,10 @@ def run_curation(
 
     # -- pack: token-budget bin assignment over the survivors ---------------
     def build_pack():
-        return pack_greedy(kept_s, budget=budget, n_shards=n_shards).select(
-            "shard_id", F.col("id").alias("doc_id"), "n_tokens", "bin_id"
-        )
+        return pack_greedy(
+            kept_s, budget=budget, n_shards=n_shards,
+            tokenizer=tokenizer, vocab=vocab,
+        ).select("shard_id", F.col("id").alias("doc_id"), "n_tokens", "bin_id")
 
     packs = _stage(spark, workdir, "pack", input_fp, build_pack, force=force)
 
@@ -273,8 +288,27 @@ def main() -> None:
                     help="also reject docs whose Gopher repetition score "
                          "(max of dup-line and top-bigram fraction) exceeds this "
                          "(off by default; ~0.2 is the Gopher operating point)")
+    ap.add_argument("--tokenizer", choices=("ws", "subword"), default="ws",
+                    help="pack-stage token counter: whitespace proxy (default) "
+                         "or op-60 longest-match subword over --vocab")
+    ap.add_argument("--vocab", default=None,
+                    help="subword vocab file (default: the committed "
+                         "data/vocab/subword_vocab_v1.txt next to this repo)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
+
+    vocab = None
+    if args.tokenizer == "subword":
+        # resolve from THIS file's real path, not the kgc package location —
+        # under spark-submit the package may import from the --py-files zip,
+        # but the main script always runs from the repo checkout
+        from kgc.operators.tokenize import load_vocab
+
+        vocab_path = args.vocab or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "data", "vocab", "subword_vocab_v1.txt",
+        )
+        vocab = load_vocab(vocab_path)
 
     from kgc.session import get_spark
 
@@ -302,7 +336,8 @@ def main() -> None:
         spark, args.workdir, docs, input_fp=fp,
         min_quality=args.min_quality, quota=args.quota, budget=args.budget,
         bench_mod=args.bench_mod, contam_threshold=args.contam_threshold,
-        n_shards=args.shards, max_repetition=args.max_repetition, force=args.force,
+        n_shards=args.shards, max_repetition=args.max_repetition,
+        tokenizer=args.tokenizer, vocab=vocab, force=args.force,
     )
     n_in = docs.count()
     n_out = tables["corpus"].count()

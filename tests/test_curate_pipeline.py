@@ -152,6 +152,36 @@ def test_param_change_invalidates_stage_resume(spark, tmp_path_factory):
     assert t3["corpus"].count() == n1
 
 
+def test_subword_tokenizer_packs_against_subword_counts(spark, tmp_path_factory):
+    """op-60 wired into the DAG (r5): tokenizer='subword' re-counts the
+    pack stage with the longest-match vocab counter (same fold), and the
+    tokenizer + vocab digest fold into the fingerprint — same workdir,
+    different counter, different (not stale-resumed) pack output."""
+    from kgc.operators.tokenize import subword_token_counts
+
+    docs = _mk_docs(spark)
+    vocab = ["th", "the", "is", "of", "cat", "do", "er"]
+    wd = str(tmp_path_factory.mktemp("curate_tok"))
+    t_ws = run_curation(spark, wd, docs, input_fp="fp")
+    # collect BEFORE the param change: a fingerprint miss recomputes the
+    # stage dir in place, so the lazy t_ws frames would read the new files
+    ws_counts = {r["doc_id"]: r["n_tokens"] for r in t_ws["packs"].collect()}
+    t_sub = run_curation(spark, wd, docs, input_fp="fp",
+                         tokenizer="subword", vocab=vocab)
+    want = {
+        r["doc_id"]: r["n_subword_tokens"]
+        for r in subword_token_counts(t_sub["corpus"], vocab).collect()
+    }
+    got = {r["doc_id"]: r["n_tokens"] for r in t_sub["packs"].collect()}
+    assert got == want
+    # the two counters disagree somewhere on this corpus, so a stale
+    # resume of the ws pack would be visible
+    assert ws_counts != got
+    # original-params re-run still resumes the ws output byte-for-byte
+    t_ws2 = run_curation(spark, wd, docs, input_fp="fp")
+    assert {r["doc_id"]: r["n_tokens"] for r in t_ws2["packs"].collect()} == ws_counts
+
+
 def test_repetition_gate_rejects_template_spam(spark, tmp_path_factory):
     """r4 op-59 wired into the DAG: with max_repetition set, a planted
     template-spam doc (high top-bigram fraction, fine ratio features)
