@@ -1570,6 +1570,77 @@ FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
 """
 
 
+def q_dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-61: keep-BEST-by-quality per near-dup cluster — the same CC
+    clustering as dd_dup_clusters, but the kept member is the max
+    quality_score one (6dp-rounded rank, id tie-break) instead of the
+    min id. The curation keep rule (kgc/operators/dedup.py
+    keep_best_per_cluster; wired into run_curation via dedup_keep)."""
+    from kgc.operators.canon import connected_components
+    from kgc.operators.curate import quality_features
+    from kgc.operators.dedup import keep_best_per_cluster, minhash_banded_pairs
+
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = minhash_banded_pairs(
+        docs, _MH_BANDS, _MH_ROWS, threshold=0.5, max_bucket=_MH_MAX_BUCKET
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    cc = connected_components(edges)
+    quality = quality_features(docs.filter(F.length("text") > 0)).select(
+        "doc_id", "quality_score"
+    )
+    return keep_best_per_cluster(docs, cc, quality)
+
+
+# Same recursive-CTE clustering as _DD_CLUSTERS_SQL; the keeper swaps
+# min(comp) for a (quality DESC round-6dp, id ASC) rank — quality restates
+# the _TEXT_STATS_SQL formula over non-empty texts (the curate.py rule:
+# missing quality rows score 0.0). Built lazily (oracle_sql() call time):
+# the shared _STOPWORDS constant is imported further down the module.
+def _build_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_DD_CAND_CTES},
+pairs AS ({_dd_jaccard_select(0.5)}),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, comp) AS (
+  SELECT a, a FROM (SELECT a FROM bidir UNION SELECT b FROM bidir)
+  UNION
+  SELECT b.b, r.comp FROM reach r JOIN bidir b ON b.a = r.node
+), lab AS (
+  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+), qual AS (
+  SELECT doc_id,
+         round(least(stopword_ratio * 4, 1.0) * (1 - least(punct_ratio * 5, 1.0))
+               * CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.2 END, 6) AS q
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           round(CAST(len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b', 1)) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
+           round(CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio
+    FROM documents WHERE length(text) > 0)
+), mq AS (
+  SELECT l.node, l.comp, coalesce(q.q, 0.0) AS q
+  FROM lab l LEFT JOIN qual q ON q.doc_id = l.node
+), keeper AS (
+  SELECT comp, node AS keep FROM (
+    SELECT comp, node,
+           row_number() OVER (PARTITION BY comp ORDER BY q DESC, node ASC) AS rk
+    FROM mq) WHERE rk = 1
+)
+SELECT d.doc_id, coalesce(k.keep, d.doc_id) AS keep_doc_id
+FROM documents d
+LEFT JOIN lab l ON l.node = d.doc_id
+LEFT JOIN keeper k ON k.comp = l.comp
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 20) — the exact
     ANN baseline. Dot products via zip_with/aggregate in float64."""
@@ -2161,6 +2232,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dd_minhash_banded": q_dd_minhash_banded,
         "dd_jaccard_pairs": q_dd_jaccard_pairs,
         "dd_dup_clusters": q_dd_dup_clusters,
+        "dd_keep_best": q_dd_keep_best,  # NEW r5 (op-61) — in-window
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2228,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_banded": _DD_MINHASH_BANDED_SQL,
         "dd_jaccard_pairs": _DD_JACCARD_SQL,
         "dd_dup_clusters": _DD_CLUSTERS_SQL,
+        "dd_keep_best": _build_keep_best_sql(),
         "dd_simhash_pairs": _DD_SIMHASH_SQL,
         "dd_embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "ann_cosine_topk": _ANN_SQL,

@@ -190,6 +190,53 @@ def minhash_banded_pairs(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    cc: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """op-61 (r5): keep-BEST-by-quality per near-dup cluster — the
+    curation-grade keep rule (VERDICT r4 #4). dd_dup_clusters keeps the
+    min-id member; a training pipeline wants the highest-quality one.
+
+    Keep = the member with the max `quality_col` (already rounded to 6dp
+    by quality_features — the §2.4 rank-on-rounded rule), doc id ASC as
+    the tie-break; docs in no cluster keep themselves; clustered docs
+    missing a quality row (empty text) score 0.0 (the curate.py rule).
+
+    Scale shape: ONLY clustered members (the tiny fraction CC emits) pass
+    through the per-cluster rank window — rank ≤ 1, so Spark 4 trims it
+    map-side (WindowGroupLimit); singletons never shuffle. The final
+    assignment is a left join of the corpus against the clustered-member
+    dim on id — broadcastable whenever near-dups are rare, SMJ otherwise.
+
+    `cc`: (node, component) from connected_components; `quality`:
+    (id_col, quality_col). Returns (id_col, keep_doc_id).
+    """
+    from pyspark.sql import Window
+
+    members = docs.select(F.col(id_col).alias("node")).join(cc, "node")
+    mq = members.join(
+        quality.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
+        "node",
+        "left",
+    ).select("node", "component", F.coalesce("_q", F.lit(0.0)).alias("_q"))
+    w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col("node").asc())
+    keeper = (
+        mq.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("component", F.col("node").alias("_keep"))
+    )
+    assign = members.join(keeper, "component").select(
+        F.col("node").alias(id_col), "_keep"
+    )
+    return docs.select(id_col).join(assign, id_col, "left").select(
+        id_col, F.coalesce("_keep", F.col(id_col)).alias("keep_doc_id")
+    )
+
+
 def jaccard_pairs_bruteforce(
     docs: DataFrame, k: int = 3, threshold: float = 0.10
 ) -> DataFrame:

@@ -63,6 +63,7 @@ def run_curation(
     max_repetition: float | None = None,
     tokenizer: str = "ws",
     vocab: list[str] | None = None,
+    dedup_keep: str = "min_id",
     force: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the curation DAG over `docs` (doc_id, text, lang, source, ...).
@@ -81,6 +82,11 @@ def run_curation(
     both the tokenizer name and a vocab digest fold into the shared stage
     fingerprint (the ADVICE-r3 rule: parameter changes must invalidate
     stage manifests, never silently resume stale outputs).
+    `dedup_keep='best_quality'` (op-61, r5, default 'min_id') makes the
+    near-dedup stage keep each cluster's highest-quality member (6dp
+    rank, id tie-break — keep_best_per_cluster) instead of the min-id
+    one; exact dedup keeps min_id either way (identical text ⇒ identical
+    quality, so 'best' is not defined beyond the tie-break there).
     Returns the stage tables plus the `rejects` ledger and the funnel
     counts.
 
@@ -99,7 +105,7 @@ def run_curation(
         tok_tag = f"{tokenizer}-{hashlib.md5(chr(10).join(vocab or []).encode()).hexdigest()[:8]}"
     input_fp = (
         f"{input_fp}-q{min_quality:g}-bm{bench_mod}-ct{contam_threshold:g}"
-        f"-k{quota}-b{budget}-s{shard_tag}-r{rep_tag}-t{tok_tag}"
+        f"-k{quota}-b{budget}-s{shard_tag}-r{rep_tag}-t{tok_tag}-d{dedup_keep}"
     )
     rejects: list[DataFrame] = []
 
@@ -166,19 +172,35 @@ def run_curation(
     reject(kept_q.join(kept_e, "doc_id", "left_anti"), "exact_dedup",
            F.lit("exact_duplicate"))
 
-    # -- near_dedup: banded-minhash pairs -> CC -> keep min-id per cluster --
+    # -- near_dedup: banded-minhash pairs -> CC -> keep one per cluster ----
     def build_near():
         pairs = minhash_banded_pairs(kept_e, threshold=0.5)
         edges = pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         ).localCheckpoint(eager=True)  # CC iterates; don't re-derive shingles per round
         cc = connected_components(edges)
-        keep = (
-            kept_e.select(F.col("doc_id").alias("node"))
-            .join(cc, "node", "left")
-            .filter(F.col("component").isNull() | (F.col("component") == F.col("node")))
-            .select(F.col("node").alias("doc_id"))
-        )
+        if dedup_keep == "best_quality":
+            from kgc.operators.dedup import keep_best_per_cluster
+
+            # kept_e still carries quality_score from the quality stage
+            keep = (
+                keep_best_per_cluster(
+                    kept_e, cc, kept_e.select("doc_id", "quality_score")
+                )
+                .filter(F.col("doc_id") == F.col("keep_doc_id"))
+                .select("doc_id")
+            )
+        elif dedup_keep == "min_id":
+            keep = (
+                kept_e.select(F.col("doc_id").alias("node"))
+                .join(cc, "node", "left")
+                .filter(F.col("component").isNull() | (F.col("component") == F.col("node")))
+                .select(F.col("node").alias("doc_id"))
+            )
+        else:
+            raise ValueError(
+                f"unknown dedup_keep {dedup_keep!r} (expected 'min_id' or 'best_quality')"
+            )
         return kept_e.join(keep, "doc_id", "left_semi")
 
     kept_n = _stage(spark, workdir, "near_dedup", input_fp, build_near,
@@ -294,6 +316,10 @@ def main() -> None:
     ap.add_argument("--vocab", default=None,
                     help="subword vocab file (default: the committed "
                          "data/vocab/subword_vocab_v1.txt next to this repo)")
+    ap.add_argument("--dedup-keep", choices=("min_id", "best_quality"),
+                    default="min_id",
+                    help="near-dedup cluster keep rule: min doc id (default) "
+                         "or op-61 highest-quality member")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -337,7 +363,8 @@ def main() -> None:
         min_quality=args.min_quality, quota=args.quota, budget=args.budget,
         bench_mod=args.bench_mod, contam_threshold=args.contam_threshold,
         n_shards=args.shards, max_repetition=args.max_repetition,
-        tokenizer=args.tokenizer, vocab=vocab, force=args.force,
+        tokenizer=args.tokenizer, vocab=vocab, dedup_keep=args.dedup_keep,
+        force=args.force,
     )
     n_in = docs.count()
     n_out = tables["corpus"].count()

@@ -152,6 +152,62 @@ def test_param_change_invalidates_stage_resume(spark, tmp_path_factory):
     assert t3["corpus"].count() == n1
 
 
+def test_keep_best_per_cluster_unit(spark):
+    """op-61 planted clusters: max-quality wins, quality ties fall to min
+    id, unclustered docs keep themselves, missing quality scores 0.0."""
+    from kgc.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 7)], "doc_id long")
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "node long, component long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.3), (2, 0.9), (3, 0.9), (4, 0.1), (6, 0.2)],
+        "doc_id long, quality_score double",
+    )  # doc 5 has NO quality row -> 0.0
+    got = {r["doc_id"]: r["keep_doc_id"]
+           for r in keep_best_per_cluster(docs, cc, quality).collect()}
+    assert got == {
+        1: 2, 2: 2, 3: 2,   # cluster {1,2,3}: 0.9 tie between 2,3 -> min id 2
+        4: 4, 7: 7,          # unclustered keep themselves
+        5: 6, 6: 6,          # cluster {5,6}: 5 scores 0.0 < 0.2
+    }
+
+
+def test_dedup_keep_best_quality_keeps_max_quality_member(spark, tmp_path_factory):
+    """op-61 wired into the DAG: a planted near-dup cluster where the
+    HIGHER id has the higher quality — min_id keeps the low-quality copy,
+    best_quality keeps the best one (the VERDICT r4 #4 done-criterion)."""
+    from kgc.operators.curate import quality_features
+
+    plants = [
+        (601, _filler(601) + " ;;; ;;;", "en"),  # punctuation drags quality down
+        (602, _filler(601) + " zeta wau", "en"),  # clean near-dup, higher quality
+    ]
+    docs = _mk_docs(spark).unionByName(
+        spark.createDataFrame(plants, "doc_id long, text string, lang string")
+    )
+    q = {r["doc_id"]: r["quality_score"]
+         for r in quality_features(docs).filter(F.col("doc_id").isin(601, 602)).collect()}
+    assert q[602] > q[601]  # the premise the plant is built on
+
+    wd_min = str(tmp_path_factory.mktemp("keep_min"))
+    t_min = run_curation(spark, wd_min, docs, input_fp="fp")
+    kept_min = {r["doc_id"] for r in t_min["corpus"].select("doc_id").collect()}
+    assert 601 in kept_min and 602 not in kept_min
+
+    wd_best = str(tmp_path_factory.mktemp("keep_best"))
+    t_best = run_curation(spark, wd_best, docs, input_fp="fp",
+                          dedup_keep="best_quality")
+    kept_best = {r["doc_id"] for r in t_best["corpus"].select("doc_id").collect()}
+    assert 602 in kept_best and 601 not in kept_best
+    # everything else is keep-rule-invariant on this corpus (301 outranks
+    # 302 on quality ties via the id tie-break, like min_id)
+    assert kept_min - {601} == kept_best - {602}
+    reason = {r["doc_id"]: r["stage"] for r in t_best["rejects"].collect()}
+    assert reason[601] == "near_dedup"
+
+
 def test_subword_tokenizer_packs_against_subword_counts(spark, tmp_path_factory):
     """op-60 wired into the DAG (r5): tokenizer='subword' re-counts the
     pack stage with the longest-match vocab counter (same fold), and the
