@@ -2142,6 +2142,78 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ_MIN_Q, _SQ_MAX_REP = 0.1, 0.2  # pinned gate thresholds (both engines)
+
+
+def q_stream_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-62: streaming quality + repetition gate — foreachBatch scores
+    each micro-batch with the BATCH quality_gate operator and appends
+    passing docs to a sink (kgc/streaming/quality.py). Per-doc stateless,
+    so the accumulated kept set equals the batch rule exactly for any
+    batch boundaries; oracle = quality formula + Gopher repetition
+    signals in SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgc.streaming.quality import streaming_quality_gate
+
+    tmp = tempfile.mkdtemp(prefix="kgc_stream_quality_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return streaming_quality_gate(
+        spark, _t(sf_dir, "documents"),
+        os.path.join(tmp, "kept"), os.path.join(tmp, "ckpt"),
+        min_quality=_SQ_MIN_Q, max_repetition=_SQ_MAX_REP,
+    )
+
+
+# Built lazily (the shared _STOPWORDS constant is imported further down the
+# module): quality restates _TEXT_STATS_SQL over non-empty texts; repetition
+# is the TestRepetitionFeatures mirror (dup lines verbatim, bigrams over the
+# lowercased \s+ words); both coalesce to 0.0 for docs their base drops.
+def _build_stream_quality_sql() -> str:
+    return f"""
+WITH qual AS (
+  SELECT doc_id,
+         round(least(stopword_ratio * 4, 1.0) * (1 - least(punct_ratio * 5, 1.0))
+               * CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.2 END, 6) AS q
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           round(CAST(len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b', 1)) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio,
+           round(CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio
+    FROM documents WHERE length(text) > 0)
+), rb AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM rb)
+  WHERE i < len(ws)
+), bga AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id
+), rep AS (
+  SELECT rb.doc_id,
+         greatest(
+           round(1.0 - CAST(len(list_distinct(string_split(rb.text, chr(10)))) AS DOUBLE)
+                 / len(string_split(rb.text, chr(10))), 6),
+           round(coalesce(CAST(a.mx AS DOUBLE) / a.tot, 0.0), 6)) AS r
+  FROM rb LEFT JOIN bga a USING (doc_id)
+)
+SELECT * FROM (
+  SELECT d.doc_id,
+         coalesce(q.q, 0.0) AS quality_score,
+         coalesce(r.r, 0.0) AS rep_score
+  FROM documents d
+  LEFT JOIN qual q USING (doc_id)
+  LEFT JOIN rep r USING (doc_id)
+) WHERE quality_score >= {_SQ_MIN_Q} AND rep_score <= {_SQ_MAX_REP}
+"""
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1-day windows with watermark over the
     events table (file source drives the stream to completion); oracle is
@@ -2246,6 +2318,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ts_fingerprint": q_ts_fingerprint,
         # -- NEW in r5 (never driver-verified → in-window by the cadence) --
         "ts_subword_tokens": q_ts_subword_tokens,
+        "stream_quality_docs": q_stream_quality_docs,
         # -- set B: rotated OUT for r5 (all driver-green r4; ops covered) --
         "mm_media_features": q_mm_media_features,
         "mm_frame_samples": q_mm_frame_samples,
@@ -2321,4 +2394,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_registry": _DD_EXACT_SQL,
         "stream_neardup_pairs": _STREAM_NEARDUP_SQL,
         "stream_decontaminate": _CUR_DECON_SQL,
+        "stream_quality_docs": _build_stream_quality_sql(),
     }

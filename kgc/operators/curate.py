@@ -66,6 +66,43 @@ def quality_features(
     return docs.select(*cols)
 
 
+def quality_gate(
+    docs: DataFrame,
+    min_quality: float = 0.1,
+    max_repetition: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """op-62 batch form (r5): the combined quality + repetition admission
+    rule as ONE operator — (doc_id, quality_score, rep_score) for every
+    doc passing quality_score ≥ min_quality AND rep_score ≤
+    max_repetition, where rep_score = max(dup_line_fraction,
+    top_bigram_fraction). Missing feature rows (empty/whitespace-only
+    text) score 0.0 (the run_curation rule). Pure per-document — which is
+    what makes the streaming twin (kgc/streaming/quality.py) exactly
+    batch-equal for any arrival order or batch boundaries."""
+    feats = quality_features(
+        docs.filter(F.length(text_col) > 0), text_col, id_col
+    ).select(id_col, "quality_score")
+    rep = repetition_features(docs, id_col, text_col).select(
+        id_col,
+        F.greatest("dup_line_fraction", "top_bigram_fraction").alias("rep_score"),
+    )
+    scored = (
+        docs.select(id_col)
+        .join(feats, id_col, "left")
+        .join(rep, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("quality_score", F.lit(0.0)).alias("quality_score"),
+            F.coalesce("rep_score", F.lit(0.0)).alias("rep_score"),
+        )
+    )
+    return scored.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("rep_score") <= max_repetition)
+    )
+
+
 # Interpolated into BOTH engines' renderings (the test mirrors it in DuckDB).
 REPETITION_NGRAM = 2
 

@@ -400,6 +400,65 @@ class TestStreamingDecontam:
         assert got.count() > 0
 
 
+class TestStreamingQualityGate:
+    """op-62 (r5): the streaming quality/repetition gate must equal the
+    batch quality_gate operator across incremental drains — the
+    VERDICT r4 #5 done-criterion — and its sink compactor must be
+    equal-on-read and idempotent."""
+
+    def _docs(self, spark):
+        rows = [
+            # survivors: stopword-rich prose, low repetition
+            (1, "the cat and the dog of a farm it is that big for now", None),
+            (2, "a list of things that it is good to know for the win", None),
+            # quality casualty: punctuation soup
+            (3, "!!! ??? *** ((( ))) %%% &&&", None),
+            # repetition casualty: template spam (top bigram dominates),
+            # stopword-rich enough to pass the quality score alone
+            (4, "the cat the cat the cat the cat the cat the cat", None),
+            # empty text: scores 0.0 / 0.0 -> quality reject
+            (5, "", None),
+            (6, "it is a fine day for the ducks and the geese of town", None),
+        ]
+        return spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        )
+
+    def test_two_chunk_equals_batch_and_compaction(self, spark, tmp_path):
+        from kgc.operators.curate import quality_gate
+        from kgc.streaming.quality import (
+            compact_quality_kept,
+            read_quality_kept,
+            streaming_quality_gate,
+        )
+
+        docs = self._docs(spark)
+        sd, kd, ck = (str(tmp_path / x) for x in ("docs", "kept", "ckpt"))
+        # drain 1: docs 1-3; drain 2: docs 4-6 (incremental arrival)
+        docs.filter(F.col("doc_id") <= 3).write.mode("append").parquet(sd)
+        got1 = streaming_quality_gate(spark, sd, kd, ck)
+        want1 = quality_gate(docs.filter(F.col("doc_id") <= 3))
+        assert sorted(map(tuple, got1.collect())) == sorted(map(tuple, want1.collect()))
+
+        docs.filter(F.col("doc_id") > 3).write.mode("append").parquet(sd)
+        got2 = streaming_quality_gate(spark, sd, kd, ck)
+        want2 = quality_gate(docs)
+        rows2 = sorted(map(tuple, got2.collect()))
+        assert rows2 == sorted(map(tuple, want2.collect()))
+        kept_ids = {r[0] for r in rows2}
+        assert kept_ids == {1, 2, 6}  # 3: quality, 4: repetition, 5: empty
+
+        # compactor: equal-on-read, idempotent, strictly smaller raw log
+        spark.read.parquet(kd).write.mode("append").parquet(kd + ".copy")
+        spark.read.parquet(kd + ".copy").write.mode("append").parquet(kd)
+        raw = spark.read.parquet(kd).count()
+        compact_quality_kept(spark, kd)
+        assert sorted(map(tuple, read_quality_kept(spark, kd).collect())) == rows2
+        assert spark.read.parquet(kd).count() == len(rows2) < raw
+        compact_quality_kept(spark, kd)
+        assert spark.read.parquet(kd).count() == len(rows2)
+
+
 class TestSinkCompaction:
     """VERDICT r3 #4: the append-log sinks get a batch compaction rewrite —
     equal-on-read, idempotent, and safe to resume streaming after."""
