@@ -562,29 +562,63 @@ def ivf_cells(
     `probes` the nprobe nearest cell ids (probes[0] == cell), and vn the
     precomputed L2 norm reused by the re-score join.
     """
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    e = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
-    sq_norm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    return ivf_assign(
+        emb, ivf_codebook(emb, n_cells, id_col, vec_col, centroids),
+        nprobe, id_col, vec_col,
     )
+
+
+def _sq_norm(c):
+    return F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+
+
+def ivf_codebook(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """The coarse codebook as a DataFrame (c_id, cv, cn) — split out of
+    ivf_cells (r5) so the incremental index (kgc/operators/ann_index.py)
+    can PERSIST it and assign appended vectors against the stored copy.
+    Same two sources as before: caller-supplied centroid list (trained
+    path, non-gate) or the deterministic md5(id)-smallest sample."""
     if centroids is not None:
         # caller-supplied codebook (e.g. train_ivf_centroids) as plan
         # literals — same assignment machinery, non-gate (see trainer note)
-        cent = emb.sparkSession.createDataFrame(
+        return emb.sparkSession.createDataFrame(
             [(int(c_id), [float(x) for x in cv]) for c_id, cv in centroids],
             "c_id long, cv array<double>",
-        ).select("c_id", "cv", F.sqrt(sq_norm("cv")).alias("cn"))
-    else:
-        cent = (
-            e.orderBy(F.md5(F.col("id").cast("string")))
-            .limit(n_cells)
-            .select(
-                F.col("id").alias("c_id"), F.col("v").alias("cv"),
-                F.sqrt(sq_norm("v")).alias("cn"),
-            )
+        ).select("c_id", "cv", F.sqrt(_sq_norm("cv")).alias("cn"))
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+    return (
+        e.orderBy(F.md5(F.col("id").cast("string")))
+        .limit(n_cells)
+        .select(
+            F.col("id").alias("c_id"), F.col("v").alias("cv"),
+            F.sqrt(_sq_norm("v")).alias("cn"),
         )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    codebook_df: DataFrame,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only coarse assignment of `emb` against an explicit codebook
+    DataFrame — the body of ivf_cells, callable with a STORED codebook
+    (incremental appends must never re-derive the codebook, or assignments
+    drift from the index). Returns (id, v, vn, cell, probes)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+    sq_norm = _sq_norm
     # One-row codebook; collect_list order is irrelevant (re-sorted per row).
-    codebook = cent.agg(F.collect_list(F.struct("c_id", "cv", "cn")).alias("cents"))
+    codebook = codebook_df.agg(F.collect_list(F.struct("c_id", "cv", "cn")).alias("cents"))
     rows = (
         e.crossJoin(F.broadcast(codebook))  # 1-row build side: map-side append
         .withColumn("vn", F.sqrt(sq_norm("v")))

@@ -1,0 +1,153 @@
+"""op-63: incremental IVF index maintenance — the VERDICT r4 #3
+done-criteria: append+maintain ≡ batch rebuild on the same corpus, a
+planted growth test crossing split_threshold, and probe pruning intact
+(the plan half lives in tests/test_plans.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc.operators.ann_index import (
+    ivf_index_append,
+    ivf_index_build,
+    ivf_index_maintain,
+    ivf_index_query,
+    read_index_data,
+    read_index_subbooks,
+)
+from kgc.plans.ann_eval import skewed_corpus
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _centroids(spark, n: int = 8):
+    """A fixed explicit codebook both the incremental and the batch path
+    share — the codebook is part of the index identity, so equality is
+    defined AT a codebook (refresh = explicit rebuild). Centroid 0 sits at
+    the skewed corpus's hot cone center so the ~70% cone vectors all land
+    in ONE cell (the md5-sampled codebook would scatter them over several
+    near-identical cone centroids and nothing would cross the
+    threshold); the rest are md5-sampled from the tail."""
+    from kgc.operators.dedup import ivf_codebook
+
+    tail = skewed_corpus(spark, 400).filter(F.pmod(F.col("vec_id"), F.lit(10)) >= 7)
+    sampled = [
+        list(r["cv"]) for r in ivf_codebook(tail, n_cells=n - 1).collect()
+    ]
+    cone = [100.0] + [11.0] * 7  # e0-dominant, near the cone's center
+    return [(0, cone)] + [(i + 1, cv) for i, cv in enumerate(sampled)]
+
+
+class TestIncrementalIvf:
+    THRESH, N_SUB = 120, 8
+
+    def test_unsplit_query_equals_base_operator(self, spark, tmp_path):
+        """On the gate corpus (no hot cells) the stored index must answer
+        exactly like ann_topk_ivf over the same vectors and codebook."""
+        from kgc.operators.dedup import ann_topk_ivf
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        path = str(tmp_path / "idx")
+        ivf_index_build(emb, path, n_cells=8)
+        assert ivf_index_maintain(spark, path, split_threshold=10**6) == []
+        got = ivf_index_query(spark, path, k=5, nprobe=3)
+        want = ann_topk_ivf(emb, k=5, n_cells=8, nprobe=3)
+        assert _rows(got) == _rows(want)
+
+    def test_append_maintain_equals_batch_build(self, spark, tmp_path):
+        """build(chunk1) → append(chunk2) → maintain ≡ build(full) →
+        maintain: the md5 sub-sampling is arrival-order-free, so the
+        stored state is a pure function of (codebook, member set)."""
+        cents = _centroids(spark)
+        emb = skewed_corpus(spark, 400).localCheckpoint(eager=True)
+        c1 = emb.filter(F.col("vec_id") < 150)
+        c2 = emb.filter(F.col("vec_id") >= 150)
+
+        inc = str(tmp_path / "inc")
+        ivf_index_build(c1, inc, centroids=cents)
+        ivf_index_append(spark, inc, c2)
+        split_inc = ivf_index_maintain(spark, inc, self.THRESH, self.N_SUB)
+
+        bat = str(tmp_path / "bat")
+        ivf_index_build(emb, bat, centroids=cents)
+        split_bat = ivf_index_maintain(spark, bat, self.THRESH, self.N_SUB)
+
+        assert split_inc == split_bat != []
+        assert _rows(read_index_data(spark, inc)) == _rows(read_index_data(spark, bat))
+        assert _rows(read_index_subbooks(spark, inc)) == _rows(read_index_subbooks(spark, bat))
+        assert _rows(ivf_index_query(spark, inc, k=3, nprobe=2, nprobe_sub=3)) == _rows(
+            ivf_index_query(spark, bat, k=3, nprobe=2, nprobe_sub=3)
+        )
+
+    def test_growth_crosses_threshold_and_resplit(self, spark, tmp_path):
+        """Planted growth: below threshold nothing splits; the append
+        pushes the hot cone past it; maintain splits with bounded
+        sub-buckets; appending MORE into the split cell routes straight to
+        sub-buckets, and the follow-up maintain (re-split over all
+        members) still equals the batch build."""
+        cents = _centroids(spark)
+        emb = skewed_corpus(spark, 400).localCheckpoint(eager=True)
+        c1 = emb.filter(F.col("vec_id") < 120)   # hot cone ~84 < THRESH
+        c2 = emb.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 300))
+        c3 = emb.filter(F.col("vec_id") >= 300)
+
+        path = str(tmp_path / "grow")
+        ivf_index_build(c1, path, centroids=cents)
+        assert ivf_index_maintain(spark, path, self.THRESH, self.N_SUB) == []
+        assert all("#" not in r["skey"] for r in read_index_data(spark, path).collect())
+
+        ivf_index_append(spark, path, c2)
+        split = ivf_index_maintain(spark, path, self.THRESH, self.N_SUB)
+        assert len(split) >= 1
+        data = read_index_data(spark, path)
+        hot = split[0]
+        buckets = (
+            data.filter(F.split("skey", "#")[0] == str(hot))
+            .groupBy("skey").agg(F.count("*").alias("n")).collect()
+        )
+        assert len(buckets) > 1  # genuinely spread
+        cell_total = sum(r["n"] for r in buckets)
+        assert max(r["n"] for r in buckets) < cell_total  # bounded below |cell|
+
+        # post-split appends land in sub-buckets without a rewrite
+        ivf_index_append(spark, path, c3)
+        appended = read_index_data(spark, path).filter(F.col("vec_id") >= 300)
+        hot_appended = appended.filter(F.split("skey", "#")[0] == str(hot))
+        assert hot_appended.filter(~F.col("skey").contains("#")).count() == 0
+
+        # final maintain re-splits over ALL members -> batch equality
+        ivf_index_maintain(spark, path, self.THRESH, self.N_SUB)
+        bat = str(tmp_path / "bat")
+        ivf_index_build(emb, bat, centroids=cents)
+        ivf_index_maintain(spark, bat, self.THRESH, self.N_SUB)
+        assert _rows(read_index_data(spark, path)) == _rows(read_index_data(spark, bat))
+
+    def test_maintain_idempotent(self, spark, tmp_path):
+        cents = _centroids(spark)
+        emb = skewed_corpus(spark, 300)
+        path = str(tmp_path / "idem")
+        ivf_index_build(emb, path, centroids=cents)
+        first = ivf_index_maintain(spark, path, self.THRESH, self.N_SUB)
+        d1 = _rows(read_index_data(spark, path))
+        s1 = _rows(read_index_subbooks(spark, path))
+        second = ivf_index_maintain(spark, path, self.THRESH, self.N_SUB)
+        assert second == first
+        assert _rows(read_index_data(spark, path)) == d1
+        assert _rows(read_index_subbooks(spark, path)) == s1
+
+    def test_external_query_batch(self, spark, tmp_path):
+        """Queries that are NOT in the index probe it without being
+        indexed: every result id is a stored vector, none a query id."""
+        emb = skewed_corpus(spark, 300)
+        stored = emb.filter(F.col("vec_id") < 250)
+        extern = emb.filter(F.col("vec_id") >= 250).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        path = str(tmp_path / "ext")
+        ivf_index_build(stored, path, n_cells=8)
+        got = ivf_index_query(spark, path, queries=extern, k=3, nprobe=2)
+        ids = {r["vec_id"] for r in got.collect()}
+        qids = {r["q_id"] for r in got.collect()}
+        assert ids and all(i < 10_000 for i in ids)
+        assert qids and all(q >= 10_000 for q in qids)

@@ -319,3 +319,19 @@ class TestIvfStorage:
         # and the pruned read returns exactly the probed cells' members
         expect = cells.filter(F.col("cell").isin(probe_ids)).count()
         assert probe.count() == expect > 0
+
+    def test_incremental_index_query_is_probe_pruned(self, spark, tmp_path):
+        """op-63: ivf_index_query collects the probe skeys and pushes them
+        as an isin — the data scan must carry them as PartitionFilters so
+        unprobed skey directories are never read."""
+        from kgc.operators.ann_index import ivf_index_build, ivf_index_query
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        path = str(tmp_path / "inc_idx")
+        ivf_index_build(emb, path, n_cells=8)
+        one_query = emb.limit(1)
+        got = ivf_index_query(spark, path, queries=one_query, k=3, nprobe=2)
+        plan = plan_of(got, "formatted")
+        scans = [seg for seg in plan.split("PartitionFilters") if "skey" in seg[:160]]
+        assert scans, plan  # at least one skey-pruned scan
+        assert got.count() == 3
