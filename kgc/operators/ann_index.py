@@ -254,6 +254,7 @@ def ivf_index_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prune: bool = True,
+    extra_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors from the stored index. `queries` defaults to
     the indexed vectors themselves (the ann_topk_ivf self-join contract,
@@ -261,15 +262,23 @@ def ivf_index_query(
 
     `prune=True` collects the distinct probe skeys (bounded by
     |queries|·nprobe·nprobe_sub — a driver-side dim, not data) and pushes
-    them as an isin filter so the scan partition-prunes to probed dirs."""
+    them as an isin filter so the scan partition-prunes to probed dirs.
+
+    `extra_rows` (op-64) unions a not-yet-flushed delta tier — already in
+    (vec_id, dv, dn, skey) shape — into the searched data; the probe-key
+    filter is applied to the union and Catalyst pushes it through to the
+    stored child, so the big tier keeps its partition pruning."""
     from pyspark.sql import Window
 
     cb = read_index_codebook(spark, path)
     subbook = read_index_subbooks(spark, path).groupBy("cell").agg(
         F.collect_list(F.struct("sub_id", "scv", "scn")).alias("subs")
     )
+    indexed = read_index_data(spark, path)
+    if extra_rows is not None:
+        indexed = indexed.unionByName(extra_rows)
     if queries is None:
-        q_emb = read_index_data(spark, path).select(
+        q_emb = indexed.select(
             F.col("vec_id").alias(id_col), F.col("dv").alias(vec_col)
         )
     else:
@@ -293,7 +302,7 @@ def ivf_index_query(
         )
         .select("q_id", "qv", "qn", F.explode("_skeys").alias("skey"))
     )
-    data = read_index_data(spark, path)
+    data = indexed
     if prune:
         probe_keys = [r["skey"] for r in qs.select("skey").distinct().collect()]
         data = data.filter(F.col("skey").isin(probe_keys))

@@ -151,3 +151,172 @@ class TestIncrementalIvf:
         qids = {r["q_id"] for r in got.collect()}
         assert ids and all(i < 10_000 for i in ids)
         assert qids and all(q >= 10_000 for q in qids)
+
+
+class TestStreamingIndexIngest:
+    """op-64 (r5): streaming ANN ingestion — delta-tier drains must equal
+    the op-63 batch append path bit-for-bit (live AND post-flush), replays
+    must heal on read, a crash mid-flush must recover to the clean state,
+    and a stream-fed hot cell must sub-quantize on flush."""
+
+    THRESH, N_SUB = 120, 8
+
+    @staticmethod
+    def _emb(spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).localCheckpoint(eager=True)
+
+    def test_two_drain_live_query_equals_append_path(self, spark, tmp_path):
+        from kgc.streaming.ann_index import (
+            ivf_index_query_live,
+            streaming_index_ingest,
+        )
+
+        emb = self._emb(spark)
+        base = emb.filter(F.col("vec_id") < 300)
+        d1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+        d2 = emb.filter(F.col("vec_id") >= 400)
+
+        live = str(tmp_path / "live")
+        ivf_index_build(base, live, n_cells=8)
+        want = str(tmp_path / "want")
+        ivf_index_build(base, want, n_cells=8)
+
+        sd, ck = str(tmp_path / "stream"), str(tmp_path / "ckpt")
+        d1.write.mode("append").parquet(sd)
+        streaming_index_ingest(spark, sd, live, ck)
+        ivf_index_append(spark, want, d1)
+        assert _rows(ivf_index_query_live(spark, live, k=3, nprobe=2)) == _rows(
+            ivf_index_query(spark, want, k=3, nprobe=2)
+        )
+
+        d2.write.mode("append").parquet(sd)
+        streaming_index_ingest(spark, sd, live, ck)
+        ivf_index_append(spark, want, d2)
+        assert _rows(ivf_index_query_live(spark, live, k=3, nprobe=2)) == _rows(
+            ivf_index_query(spark, want, k=3, nprobe=2)
+        )
+
+    def test_flush_folds_delta_and_is_idempotent(self, spark, tmp_path):
+        import os
+
+        from kgc.streaming.ann_index import (
+            ivf_index_flush,
+            ivf_index_query_live,
+            streaming_index_ingest,
+        )
+
+        emb = self._emb(spark)
+        base, delta = emb.filter(F.col("vec_id") < 350), emb.filter(F.col("vec_id") >= 350)
+        live = str(tmp_path / "live")
+        ivf_index_build(base, live, n_cells=8)
+        sd, ck = str(tmp_path / "stream"), str(tmp_path / "ckpt")
+        delta.write.mode("append").parquet(sd)
+        streaming_index_ingest(spark, sd, live, ck)
+        before = _rows(ivf_index_query_live(spark, live, k=3, nprobe=2))
+
+        assert ivf_index_flush(spark, live) > 0
+        assert not os.path.isdir(os.path.join(live, "delta"))
+        assert not os.path.isdir(os.path.join(live, "delta.flushing"))
+        assert _rows(ivf_index_query(spark, live, k=3, nprobe=2)) == before
+
+        want = str(tmp_path / "want")
+        ivf_index_build(base, want, n_cells=8)
+        ivf_index_append(spark, want, delta)
+        assert _rows(read_index_data(spark, live)) == _rows(read_index_data(spark, want))
+
+        assert ivf_index_flush(spark, live) == 0  # idempotent no-op
+        assert _rows(ivf_index_query(spark, live, k=3, nprobe=2)) == before
+
+    def test_replayed_batch_heals_on_read(self, spark, tmp_path):
+        import os
+
+        from kgc.streaming.ann_index import (
+            _ingest_batch,
+            ivf_index_query_live,
+            read_index_delta,
+        )
+
+        emb = self._emb(spark)
+        base, delta = emb.filter(F.col("vec_id") < 400), emb.filter(F.col("vec_id") >= 400)
+        path = str(tmp_path / "idx")
+        ivf_index_build(base, path, n_cells=8)
+
+        _ingest_batch(spark, delta, 0, path)
+        once_delta = _rows(read_index_delta(spark, path))
+        once_q = _rows(ivf_index_query_live(spark, path, k=3, nprobe=2))
+        _ingest_batch(spark, delta, 0, path)  # at-least-once replay
+        raw = spark.read.parquet(os.path.join(path, "delta")).count()
+        assert raw == 2 * len(once_delta)  # the log really appended
+        assert _rows(read_index_delta(spark, path)) == once_delta
+        assert _rows(ivf_index_query_live(spark, path, k=3, nprobe=2)) == once_q
+
+    def test_crash_mid_flush_recovers(self, spark, tmp_path):
+        import os
+
+        from kgc.streaming.ann_index import (
+            _ingest_batch,
+            _merge_flushing_into_data,
+            ivf_index_flush,
+            ivf_index_query_live,
+        )
+
+        emb = self._emb(spark)
+        base, delta = emb.filter(F.col("vec_id") < 400), emb.filter(F.col("vec_id") >= 400)
+
+        def fresh(name):
+            p = str(tmp_path / name)
+            ivf_index_build(base, p, n_cells=8)
+            _ingest_batch(spark, delta, 0, p)
+            return p
+
+        clean = fresh("clean")
+        ivf_index_flush(spark, clean)
+        want_data = _rows(read_index_data(spark, clean))
+
+        # crash A: after the atomic rename, before any merge
+        a = fresh("crash_a")
+        os.rename(os.path.join(a, "delta"), os.path.join(a, "delta.flushing"))
+        got = ivf_index_query_live(spark, a, k=3, nprobe=2)  # triggers recovery
+        assert _rows(got) == _rows(ivf_index_query(spark, clean, k=3, nprobe=2))
+        assert _rows(read_index_data(spark, a)) == want_data
+        assert not os.path.isdir(os.path.join(a, "delta.flushing"))
+
+        # crash B: merge done, flushing dir left behind (rows in BOTH tiers)
+        b = fresh("crash_b")
+        os.rename(os.path.join(b, "delta"), os.path.join(b, "delta.flushing"))
+        _merge_flushing_into_data(spark, b)
+        assert ivf_index_flush(spark, b) == 0  # recovery completes, nothing new
+        data_b = read_index_data(spark, b)
+        assert _rows(data_b) == want_data  # no duplicated vec_ids
+        assert data_b.count() == data_b.select("vec_id").distinct().count()
+
+    def test_stream_fed_hot_cell_splits_on_flush(self, spark, tmp_path):
+        from kgc.streaming.ann_index import streaming_index_ingest
+
+        cents = _centroids(spark)
+        emb = skewed_corpus(spark, 300).localCheckpoint(eager=True)
+        c1 = emb.filter(F.col("vec_id") < 120)
+        c2 = emb.filter(F.col("vec_id") >= 120)
+
+        live = str(tmp_path / "live")
+        ivf_index_build(c1, live, centroids=cents)
+        sd, ck = str(tmp_path / "stream"), str(tmp_path / "ckpt")
+        c2.write.mode("append").parquet(sd)
+        streaming_index_ingest(
+            spark, sd, live, ck, flush=True,
+            split_threshold=self.THRESH, n_sub=self.N_SUB,
+        )
+
+        bat = str(tmp_path / "bat")
+        ivf_index_build(emb, bat, centroids=cents)
+        ivf_index_maintain(spark, bat, self.THRESH, self.N_SUB)
+        assert read_index_subbooks(spark, live).count() > 0  # it really split
+        assert _rows(read_index_data(spark, live)) == _rows(read_index_data(spark, bat))
+        assert _rows(read_index_subbooks(spark, live)) == _rows(
+            read_index_subbooks(spark, bat)
+        )
+        assert _rows(
+            ivf_index_query(spark, live, k=3, nprobe=2, nprobe_sub=3)
+        ) == _rows(ivf_index_query(spark, bat, k=3, nprobe=2, nprobe_sub=3))

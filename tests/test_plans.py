@@ -335,3 +335,23 @@ class TestIvfStorage:
         scans = [seg for seg in plan.split("PartitionFilters") if "skey" in seg[:160]]
         assert scans, plan  # at least one skey-pruned scan
         assert got.count() == 3
+
+
+class TestLiveIndexQuery:
+    def test_live_query_keeps_stored_side_partition_pruning(self, spark, tmp_path):
+        """op-64: ivf_index_query_live unions the delta tier into the
+        searched data; the probe-key isin must still reach the STORED
+        child as PartitionFilters (Catalyst pushes the filter through the
+        Union), so the big tier never reads unprobed skey directories."""
+        from kgc.operators.ann_index import ivf_index_build
+        from kgc.streaming.ann_index import _ingest_batch, ivf_index_query_live
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        path = str(tmp_path / "live_idx")
+        ivf_index_build(emb.filter(F.col("vec_id") < 400), path, n_cells=8)
+        _ingest_batch(spark, emb.filter(F.col("vec_id") >= 400), 0, path)
+        got = ivf_index_query_live(spark, path, queries=emb.limit(1), k=3, nprobe=2)
+        plan = plan_of(got, "formatted")
+        scans = [seg for seg in plan.split("PartitionFilters") if "skey" in seg[:160]]
+        assert scans, plan  # the stored child is still skey-pruned
+        assert got.count() == 3
