@@ -64,6 +64,7 @@ def run_curation(
     tokenizer: str = "ws",
     vocab: list[str] | None = None,
     dedup_keep: str = "min_id",
+    redact_pii: bool = False,
     force: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the curation DAG over `docs` (doc_id, text, lang, source, ...).
@@ -87,6 +88,12 @@ def run_curation(
     rank, id tie-break — keep_best_per_cluster) instead of the min-id
     one; exact dedup keeps min_id either way (identical text ⇒ identical
     quality, so 'best' is not defined beyond the tie-break there).
+    `redact_pii=True` (op-65, r5, default off) rewrites the corpus text
+    through redact_pii BEFORE any stage, so every downstream signal
+    (quality, dedup shingles, decontam, packing) sees the redacted text —
+    redacting after dedup would let two docs differing only in their PII
+    escape the near-dup pass. Map-only, and a fingerprint parameter like
+    every other knob.
     Returns the stage tables plus the `rejects` ledger and the funnel
     counts.
 
@@ -106,7 +113,12 @@ def run_curation(
     input_fp = (
         f"{input_fp}-q{min_quality:g}-bm{bench_mod}-ct{contam_threshold:g}"
         f"-k{quota}-b{budget}-s{shard_tag}-r{rep_tag}-t{tok_tag}-d{dedup_keep}"
+        f"-p{'on' if redact_pii else 'off'}"
     )
+    if redact_pii:
+        from kgc.operators.pii import redact_pii as _redact
+
+        docs = _redact(docs)
     rejects: list[DataFrame] = []
 
     def reject(ids: DataFrame, stage: str, reason_col):
@@ -320,6 +332,9 @@ def main() -> None:
                     default="min_id",
                     help="near-dedup cluster keep rule: min doc id (default) "
                          "or op-61 highest-quality member")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="op-65: redact emails/IPv4s/phone digit runs from "
+                         "text before any stage (typed placeholders)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -364,7 +379,7 @@ def main() -> None:
         bench_mod=args.bench_mod, contam_threshold=args.contam_threshold,
         n_shards=args.shards, max_repetition=args.max_repetition,
         tokenizer=args.tokenizer, vocab=vocab, dedup_keep=args.dedup_keep,
-        force=args.force,
+        redact_pii=args.redact_pii, force=args.force,
     )
     n_in = docs.count()
     n_out = tables["corpus"].count()
