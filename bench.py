@@ -145,6 +145,18 @@ def main() -> None:
     timed("dd_jaccard_pairs", lambda: E.q_dd_jaccard_pairs(spark, sf_dir).count())
     timed("ts_text_stats", lambda: E.q_ts_text_stats(spark, sf_dir).count())
     timed("ts_subword_tokens", lambda: E.q_ts_subword_tokens(spark, sf_dir).count())
+
+    def _pii(sf_dir=sf_dir):
+        # agg over pii_count forces the regex work on every row (a bare
+        # count() would prune the computed columns away)
+        from pyspark.sql import functions as F
+
+        from kgc.operators.pii import pii_features
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return pii_features(docs).agg(F.sum("pii_count")).collect()
+
+    timed("ts_pii_features", _pii)
     timed("cur_decontaminate", lambda: E.q_cur_decontaminate(spark, sf_dir).count())
     timed("cur_quota_sample", lambda: E.q_cur_quota_sample(spark, sf_dir).count())
     timed("cur_pack_greedy", lambda: E.q_cur_pack_greedy(spark, sf_dir).count())
