@@ -118,7 +118,13 @@ def run_curation(
     if redact_pii:
         from kgc.operators.pii import redact_pii as _redact
 
-        docs = _redact(docs)
+        # materialized as its OWN checkpointed stage, not a lazy transform:
+        # six downstream stages re-derive `docs`, and re-running the 3-regex
+        # rewrite per consumer cost +39% wall on the 1M-doc probe; one
+        # materialized pass restores the map-only price (BENCH §2)
+        _in = docs
+        docs = _stage(spark, workdir, "redact", input_fp, lambda: _redact(_in),
+                      bucket_by="doc_id", force=force)
     rejects: list[DataFrame] = []
 
     def reject(ids: DataFrame, stage: str, reason_col):
