@@ -45,21 +45,28 @@ HOT_FRACTION = 0.50
 def touch_items(triples: DataFrame) -> DataFrame:
     """Distinct (individual, act_ord) pairs — the inverted-index base.
     NULL-ts (media) touches count: the profile is *whether* A touched x."""
-    return (
-        triples.filter(F.col("pred") == "TOUCHED")
-        .select(
-            F.col("subj").alias("individual"),
-            F.regexp_extract("obj", r"act-(\d+)", 1).cast("int").alias("act"),
-        )
-        .dropDuplicates(["individual", "act"])
+    return _touch_items_raw(triples).dropDuplicates(["individual", "act"])
+
+
+def _touch_items_raw(triples: DataFrame) -> DataFrame:
+    """touch_items WITHOUT the distinct shuffle — for consumers whose first
+    aggregation dedups anyway (collect_set in _items_with_deg), so the
+    (individual, act) dedup exchange is not paid twice (r6)."""
+    return triples.filter(F.col("pred") == "TOUCHED").select(
+        F.col("subj").alias("individual"),
+        F.regexp_extract("obj", r"act-(\d+)", 1).cast("int").alias("act"),
     )
 
 
 def build_profiles(items: DataFrame) -> DataFrame:
-    """op-23: sorted distinct activity ordinals per individual + degree."""
-    return items.groupBy("individual").agg(
-        F.array_sort(F.collect_set("act")).alias("acts"),
-        F.countDistinct("act").cast("int").alias("deg"),
+    """op-23: sorted distinct activity ordinals per individual + degree.
+
+    deg = size of the collected distinct set (identical to countDistinct,
+    without the expand/two-phase distinct-agg plan the r1 form paid — r6)."""
+    return (
+        items.groupBy("individual")
+        .agg(F.array_sort(F.collect_set("act")).alias("acts"))
+        .withColumn("deg", F.size("acts").cast("int"))
     )
 
 
@@ -179,6 +186,25 @@ def _salted_self_pairs(items_hot: DataFrame, n_salt: int) -> DataFrame:
     )
 
 
+def _items_with_deg(items: DataFrame) -> DataFrame:
+    """Distinct (individual, deg, act) rows in ONE exchange (r6): groupBy
+    collect_set (dedups AND collects per-individual in one partial+final
+    agg) then a map-side explode re-attaches `deg` to every item row.
+
+    Replaces the r1 shape — dropDuplicates exchange + countDistinct
+    expand-agg + items⋈deg join (3 exchanges + a broadcast build) — with a
+    single hash-partition by individual; output rows are identical
+    (measured 17.6s → 9.9s on the sf0.1 similarity_exact noop bench, and
+    the bimodal 9–18 s swings of the old plan disappear). Input need not
+    be distinct: collect_set dedups."""
+    prof = items.groupBy("individual").agg(F.array_sort(F.collect_set("act")).alias("_acts"))
+    return prof.select(
+        "individual",
+        F.size("_acts").cast("int").alias("deg"),
+        F.explode("_acts").alias("act"),
+    )
+
+
 def candidate_pairs_exact(items: DataFrame, hot_acts: DataFrame | None = None, n_salt: int = 8) -> DataFrame:
     """op-16 + op-24: exact co-touch pairs with intersection counts.
 
@@ -192,8 +218,7 @@ def candidate_pairs_exact(items: DataFrame, hot_acts: DataFrame | None = None, n
     equal either way (tests/test_skew.py); AQE skew-join is the backstop
     when no explicit hot list is supplied.
     """
-    deg = profile_degree(items)
-    it = items.join(deg, "individual")
+    it = _items_with_deg(items)
     if hot_acts is not None:
         cold = it.join(hot_acts, "act", "left_anti")
         hot = it.join(F.broadcast(hot_acts), "act", "left_semi")
@@ -232,7 +257,9 @@ def similar_to_exact(
     a prebuilt (ideally materialized) touch_items table so callers that
     already paid the dedup shuffle don't pay it again."""
     if items is None:
-        items = touch_items(triples)
+        # raw (non-distinct) on purpose: _items_with_deg's collect_set dedups,
+        # so the standalone call pays ONE shuffle instead of dedup + groupBy (r6)
+        items = _touch_items_raw(triples)
     if not dict_encode:
         return score_pairs(candidate_pairs_exact(items))
     enc, dic = encode_individuals(items)
@@ -311,16 +338,26 @@ def candidate_pairs_lsh(
     Blocking profiles exclude stop-listed hot activities; full profiles are
     used for scoring so values match the exact path on every emitted pair.
     `items` supplies a prebuilt touch_items table (see similar_to_exact).
+
+    Both `profiles` and `banded` are localCheckpointed (r6): each feeds TWO
+    differently-aliased join branches, and differently-keyed consumers defeat
+    exchange reuse, so the un-materialized plan ran the whole signature
+    subtree (items dedup → anti-join → collect_set → b·r minhash transform)
+    once per branch — measured 9.5–11.6 s → 5.2–5.7 s on the sf0.1 noop
+    bench. Same rationale (and precedent) as minhash_banded_pairs' `sh`
+    checkpoint; both tables are O(individuals), linear at any scale.
     """
     if items is None:
         items = touch_items(triples)
-    profiles = build_profiles(items)
+    profiles = build_profiles(items).localCheckpoint(eager=True)
     block_items = items if stoplist is None else items.join(stoplist, "act", "left_anti")
     block_profiles = (
         block_items.groupBy("individual").agg(F.array_sort(F.collect_set("act")).alias("acts"))
         .withColumn("deg", F.size("acts"))
     )
-    banded = band_keys(minhash_signatures(block_profiles, bands, rows), bands, rows)
+    banded = band_keys(
+        minhash_signatures(block_profiles, bands, rows), bands, rows
+    ).localCheckpoint(eager=True)
     a = banded.select(F.col("individual").alias("ind_a"), F.col("band_idx"), F.col("band_hash"))
     b = banded.select(F.col("individual").alias("ind_b"), F.col("band_idx"), F.col("band_hash"))
     cand = (
@@ -376,7 +413,13 @@ _BITMASK_INTER = (
 def rescore_pairs_bitmask(cand: DataFrame, mask_profiles: DataFrame) -> DataFrame:
     """Exact Otsuka–Ochiai re-score of candidate (ind_a, ind_b) pairs using
     packed bitmask profiles — same contract as the array_intersect stage in
-    candidate_pairs_lsh (emitted similarities exact; inter=0 pairs dropped)."""
+    candidate_pairs_lsh (emitted similarities exact; inter=0 pairs dropped).
+
+    mask_profiles is localCheckpointed (r6): it feeds both join branches
+    under different aliases, so the un-materialized mask-construction
+    subtree (collect_set + n_words-fold pack) ran twice — the
+    candidate_pairs_lsh rationale; the table is O(individuals)."""
+    mask_profiles = mask_profiles.localCheckpoint(eager=True)
     pa = mask_profiles.select(
         F.col("individual").alias("ind_a"), F.col("mask").alias("mask_a"), F.col("deg").alias("deg_a")
     )
