@@ -124,7 +124,14 @@ def banded_candidates(bk: DataFrame, max_bucket: int | None = None) -> DataFrame
     """Distinct candidate (id_a < id_b) pairs from minhash_band_keys output,
     optionally dropping buckets above the hot-bucket cap. Shared by
     minhash_banded_pairs and the recall harness so the evidence always
-    measures the shipped candidate rule."""
+    measures the shipped candidate rule.
+
+    `bk` is localCheckpointed (r6): the b·r md5-signature transform behind
+    it is the dominant per-row cost and feeds THREE consumers (the bucket-
+    size cap and both differently-aliased self-join branches), which
+    exchange reuse cannot deduplicate — un-materialized it ran three times.
+    O(docs·bands) rows, linear at any scale (the `sh` checkpoint rationale)."""
+    bk = bk.localCheckpoint(eager=True)
     if max_bucket is not None:
         sizes = bk.groupBy("band_idx", "band_key").agg(F.count("*").alias("_m"))
         bk = bk.join(
@@ -264,7 +271,15 @@ def bench_shingles_exploded(
     streaming twin (kgc/streaming/dedup.streaming_decontam), so both
     apply the identical bench-side rule."""
     bsh = doc_shingles(bench, k)
-    b = bsh.select(F.col("id").alias("bench_id"), F.explode_outer("sh").alias("shingle"))
+    # localCheckpoint (r6): the exploded bench shingles feed the DF-cap agg
+    # AND the semi-join probe side, so the bench-side shingle construction
+    # ran twice un-materialized. The bench table is the SMALL side by
+    # contract (broadcast downstream), so the materialization is bounded;
+    # it is also static even under the streaming twin (the stream is the
+    # train side).
+    b = bsh.select(
+        F.col("id").alias("bench_id"), F.explode_outer("sh").alias("shingle")
+    ).localCheckpoint(eager=True)
     if max_bench_df is not None:
         dfc = b.groupBy("shingle").agg(F.count("*").alias("_df"))
         b = b.join(

@@ -47,6 +47,15 @@ _GROUPS = ["ind", "act", "cmp", "prd", "ts"]
 _OUT_COLS = ["mention_type", "ind_surface", "act_surface", "cmp_surface", "prd_surface",
              "ts_str", "match_idx", "char_start", "char_end"]
 _COMPILED = {mtype: re.compile(pat) for mtype, pat in PATTERNS.items()}
+# Literal substring each pattern REQUIRES (present verbatim in its regex):
+# a C-speed `in` check gates the (much costlier) regex scan per row, so the
+# ~3/4 of (pattern, span) combinations that cannot match never reach re (r6).
+_PREFILTER = {
+    "touch": " opened email ",
+    "conversion": " converted ",
+    "purchase": " purchased ",
+    "media_touch": "photo of ",
+}
 
 
 def _extract_frame(text: pd.Series) -> pd.DataFrame:
@@ -61,7 +70,10 @@ def _extract_frame(text: pd.Series) -> pd.DataFrame:
     vals = text.to_numpy()
     rows: list[tuple] = []
     for mtype, cpat in _COMPILED.items():
+        marker = _PREFILTER[mtype]
         for pos, txt in enumerate(vals):
+            if marker not in txt:
+                continue
             for j, m in enumerate(cpat.finditer(txt)):
                 g = m.groupdict()
                 rows.append((pos, j, mtype, g.get("ind"), g.get("act"), g.get("cmp"),

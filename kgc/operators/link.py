@@ -170,7 +170,15 @@ def link_triples_wide(mentions: DataFrame, catalog: DataFrame) -> DataFrame:
     per-mention cost is two broadcast probes and ZERO shuffles of the
     stream. Semantically identical to
     assemble_triples(link_mentions(mentions_to_long(m), catalog)).
+
+    `mentions` is localCheckpointed (r6): the resolution dimension derives
+    its vocabulary FROM the mention stream, so the un-materialized plan ran
+    the Python extraction subtree twice — once to build the broadcast dim,
+    once for the probe side (measured 5.2 s → 3.5 s warm on the sf0.1
+    fused-construction bench). Batch-only by construction (the streaming
+    carrier is link_triples_wide_with_dim, which takes a prebuilt dim).
     """
+    mentions = mentions.localCheckpoint(eager=True)
     res = link_resolution_dim(mentions_to_long(mentions), catalog)
     return link_triples_wide_with_dim(mentions, res)
 

@@ -23,7 +23,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from kgc.operators.attribution import attribute
 from kgc.operators.canon import entities_canon_map, salted_dedup
@@ -42,6 +41,28 @@ from kgc.operators.spans import explode_spans
 from kgc.operators.triples import assemble_triples, canonical_triples
 from kgc.sources import catalog as cat
 from kgc.sources.synth import alias_catalog, alias_edges, part_of_dim, synth_documents
+
+
+def _write_metrics_parquet(mdir: str, rows: list) -> None:
+    """Overwrite <mdir> with the collected op-05 metric rows as one parquet
+    file — same schema `spark.read.parquet` saw from the old Spark write
+    (stage string, partition_id int32, rows_out int64, fingerprint int64)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(mdir, exist_ok=True)
+    table = pa.table(
+        {
+            "stage": pa.array([r["stage"] for r in rows], pa.string()),
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
+            "rows_out": pa.array([r["rows_out"] for r in rows], pa.int64()),
+            "fingerprint": pa.array([r["fingerprint"] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(mdir, "part-00000.parquet"))
 
 
 def _stage(
@@ -67,13 +88,17 @@ def _stage(
     cat.write_table(df, path, bucket_by=bucket_by)
     out = cat.read_table(spark, path)
     # ONE post-write scan serves both the lineage metrics (op-05) and the
-    # manifest row count (op-03) — no separate count() action.
+    # manifest row count (op-03). The metric rows are partition-count-sized
+    # (one per scan task — bounded, never data-sized), so they are collected
+    # once and written driver-side with pyarrow (r6): the r5 shape paid a
+    # second Spark job just to write ≤#tasks rows and a third to re-read
+    # them for the manifest count.
     from kgc.plans.metrics import partition_metrics
 
-    metrics = partition_metrics(out, name)
+    metric_rows = partition_metrics(out, name).collect()
     mdir = os.path.join(workdir, "stage_metrics", name)
-    metrics.write.mode("overwrite").parquet(mdir)
-    n_rows = spark.read.parquet(mdir).agg(F.sum("rows_out")).collect()[0][0] or 0
+    _write_metrics_parquet(mdir, metric_rows)
+    n_rows = sum(r["rows_out"] for r in metric_rows)
     cat.write_manifest(path, name, input_fp, int(n_rows), df.schema.simpleString())
     wall = time.time() - t0
     if timings is not None:
@@ -198,7 +223,16 @@ def run_pipeline(
         # output pinned bit-equal to the plain path (tests/test_ops_core.py)
         return similar_to_exact(triples, dict_encode=True, items=items)
 
-    similar = _stage(spark, workdir, "similarity", fp, build_similar, force=force, timings=stage_sec)
+    # bucket_by="ind_a" (r6): AQE coalescing can legally shrink the pair
+    # table to ONE output file (decode-join exchange ~20 MB), and a 1-file
+    # table serializes every downstream scan — recommend's map-side
+    # WindowGroupLimit then sorts the whole symmetrized stream in one task
+    # (measured 2.2 s → 4.6 s). The bucketed write repartitions 1:1 over
+    # n_buckets writers, restoring scan parallelism for every consumer.
+    similar = _stage(
+        spark, workdir, "similarity", fp, build_similar,
+        bucket_by="ind_a", force=force, timings=stage_sec,
+    )
     recs = _stage(
         spark, workdir, "recommend", fp,
         lambda: recommend(triples, similar),

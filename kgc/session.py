@@ -89,6 +89,15 @@ def get_spark(
         # /tmp data is this host's documented perf trap (BENCH §3).
         .config("spark.sql.warehouse.dir", _warehouse_dir())
     )
+    # KGC_CONF: JSON dict of extra spark confs — the env seam for cluster
+    # profiles and config A/B without code edits (r6). Applied before
+    # extra_conf so an explicit caller dict still wins.
+    env_conf = os.environ.get("KGC_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -48,6 +48,38 @@ def bucket_col(col: str, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
+# (n_buckets) -> remap values v[i] with pmod(murmur3(v[i]), n) == i, cached per
+# process (the probe is one tiny job; the mapping is pure math, session-free).
+_BUCKET_REMAP: dict[int, list[int]] = {}
+
+
+def _bucket_remap(spark: SparkSession, n: int) -> list[int]:
+    """Values that make `repartition(n, value)` place bucket i in partition i.
+
+    DataFrame.repartition(n, col) hash-partitions by pmod(murmur3(col), n) —
+    with exactly n distinct bucket values that mapping collides: measured
+    20/32 partitions used, up to 3 buckets serialized through one write task
+    (guide §2.5's too-few-distinct-keys trap). Remapping bucket i to a probe
+    value v[i] whose murmur3 lands in class i makes the placement 1:1 — all
+    n writers busy, no multi-bucket stragglers, at every n."""
+    if n not in _BUCKET_REMAP:
+        span = 64 * n
+        while True:
+            rows = (
+                spark.range(span)
+                .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"))
+                .groupBy("p")
+                .agg(F.min("id").alias("v"))
+                .collect()
+            )
+            m = {r["p"]: r["v"] for r in rows}
+            if len(m) == n:  # P(miss) ≈ n·e^-64 per doubling — effectively never loops
+                break
+            span *= 2
+        _BUCKET_REMAP[n] = [int(m[i]) for i in range(n)]
+    return _BUCKET_REMAP[n]
+
+
 def write_table_iceberg(
     df: DataFrame, table: str, bucket_by: str | None = None, n_buckets: int = N_BUCKETS_DEFAULT
 ) -> None:
@@ -119,8 +151,18 @@ def write_table(
         # sortWithinPartitions for byte-stable files (op-35, golden outputs);
         # off by default — content-level determinism is already guaranteed
         # and checked via order-independent partition fingerprints (op-05).
-        writer = df.withColumn("bucket", bucket_col(bucket_by, n_buckets)).repartition(
-            n_buckets, F.col("bucket")
+        # 1:1 bucket→partition remap (see _bucket_remap): plain
+        # repartition(n, bucket) hashes n distinct values into n partitions
+        # and leaves ~1/3 of the write tasks empty while stragglers carry
+        # 2–4 buckets each; the remapped key gives every bucket its own
+        # writer task (and exactly one file per bucket dir by construction).
+        remap = _bucket_remap(df.sparkSession, n_buckets)
+        remap_expr = F.element_at(
+            F.array(*[F.lit(v) for v in remap]), F.col("bucket") + 1
+        )
+        writer = (
+            df.withColumn("bucket", bucket_col(bucket_by, n_buckets))
+            .repartition(n_buckets, remap_expr)
         )
         if sorted_files:
             writer = writer.sortWithinPartitions(*df.columns)

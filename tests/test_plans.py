@@ -180,11 +180,13 @@ class TestCuration:
         assert "SortMergeJoin" not in plan, plan
         # explode_outer keeps the inferred size(sh)>0 filter OUT of the plan:
         # plain explode re-derived the whole shingle construction inside the
-        # Filter node (measured 3× the warm wall). Exactly 3 constructions:
-        # one train-side, two bench-side (the stop-shingle df agg + the
-        # semi-join probe — both over the eval-set-sized table, irrelevant
-        # next to the corpus side), and NONE inside a Filter.
-        assert plan.count("array_distinct") == 3, plan
+        # Filter node (measured 3× the warm wall). Exactly ONE construction
+        # in the plan — the train side; the bench side is materialized once
+        # by bench_shingles_exploded's localCheckpoint (r6 — it used to run
+        # twice, for the stop-shingle df agg and the semi-join probe), so it
+        # appears as a checkpoint scan, not a re-derivation. NONE inside a
+        # Filter.
+        assert plan.count("array_distinct") == 1, plan
         filt = [ln for ln in plan.splitlines() if "Filter" in ln]
         assert sum(ln.count("array_distinct") for ln in filt) == 0, filt
 
