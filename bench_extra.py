@@ -61,22 +61,27 @@ def main() -> None:
         return buf.getvalue()
 
     def timed(name: str, build, action=noop):
-        """build() -> DataFrame; timed over `repeats` runs against noop."""
+        """build() -> DataFrame; timed over `repeats` runs against noop.
+
+        The plan dump is taken from the LAST executed DataFrame object, so
+        with AQE it is the FINAL adaptive plan (isFinalPlan=true — runtime
+        join conversions and coalesced reads visible), not the initial one."""
         if only is not None and name not in only:
             return
-        df = build()
-        if args.plans_dir:
+        runs = []
+        df = None
+        for i in range(args.repeats):
+            sc.setJobDescription(f"{name} [{i}]")
+            df = build()
+            t0 = time.time()
+            action(df)
+            runs.append(round(time.time() - t0, 3))
+        sc.setJobDescription(None)
+        if args.plans_dir and df is not None:
             os.makedirs(args.plans_dir, exist_ok=True)
             suffix = f"_{args.tag}" if args.tag else ""
             with open(os.path.join(args.plans_dir, f"{name}{suffix}.txt"), "w") as f:
                 f.write(plan_of(df))
-        runs = []
-        for i in range(args.repeats):
-            sc.setJobDescription(f"{name} [{i}]")
-            t0 = time.time()
-            action(build())
-            runs.append(round(time.time() - t0, 3))
-        sc.setJobDescription(None)
         timings[name] = runs
         print(f"[bench_extra] {name}: {runs}", file=sys.stderr)
 

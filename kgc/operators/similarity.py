@@ -217,8 +217,15 @@ def candidate_pairs_exact(items: DataFrame, hot_acts: DataFrame | None = None, n
     key spreads over n_salt(n_salt+1)/2 reducers — results are EXACTLY
     equal either way (tests/test_skew.py); AQE skew-join is the backstop
     when no explicit hot list is supplied.
+
+    `it` is localCheckpointed (r6): it feeds BOTH self-join branches under
+    different aliases, which defeats exchange reuse, so the un-materialized
+    plan ran the collect_set+explode aggregation subtree once per branch —
+    the candidate_pairs_lsh rationale; the table is O(items), linear at any
+    scale, and the checkpoint additionally gives the planner true runtime
+    sizes so the deg-carrying side can be broadcast when it fits.
     """
-    it = _items_with_deg(items)
+    it = _items_with_deg(items).localCheckpoint(eager=True)
     if hot_acts is not None:
         cold = it.join(hot_acts, "act", "left_anti")
         hot = it.join(F.broadcast(hot_acts), "act", "left_semi")
@@ -266,7 +273,14 @@ def similar_to_exact(
     pairs = candidate_pairs_exact(enc)
     da = dic.select(F.col("code").alias("ind_a"), F.col("individual").alias("_sa"))
     db = dic.select(F.col("code").alias("ind_b"), F.col("individual").alias("_sb"))
-    decoded = pairs.join(da, "ind_a").join(db, "ind_b")
+    # Explicit broadcast (r6): the dictionary is vocabulary-sized (two 8-byte
+    # cols + id string) while `pairs` is the Σdeg² table — the planner's
+    # default-sized view of the checkpointed dic picked sort-merge, paying
+    # two full exchanges + sorts OF THE PAIR TABLE just to decode ids
+    # (measured 11.7 s → 6.6 s median on the sf0.1 noop bench). dict_encode
+    # is only engaged below the exact-path pair threshold, where the
+    # individual vocabulary is far under any broadcast cap.
+    decoded = pairs.join(F.broadcast(da), "ind_a").join(F.broadcast(db), "ind_b")
     # code order != string order: re-canonicalize so ind_a < ind_b as strings
     swap = F.col("_sa") > F.col("_sb")
     reoriented = decoded.select(
@@ -287,14 +301,26 @@ def encode_individuals(items: DataFrame) -> tuple[DataFrame, DataFrame]:
     Codes are xxhash64(id) with a collision AUDIT (one vocabulary-sized agg;
     count == countDistinct(code) or we refuse): deterministic, no global
     sort and no zipWithIndex lineage, exact by construction once audited.
-    Decode is a dictionary join, never a re-hash."""
-    vocab = items.select("individual").distinct()
-    audit = vocab.agg(
-        F.count("*").alias("n"), F.countDistinct(F.xxhash64("individual")).alias("d")
+    Decode is a dictionary join, never a re-hash.
+
+    `dic` is localCheckpointed (r6): the r5 shape recomputed the vocabulary
+    distinct-shuffle once per consumer (the audit, then each decode-join
+    branch — 3× total in similar_to_exact), and the un-sized lazy plan made
+    the planner sort-merge the decode joins, shuffling the Σdeg² pair table
+    twice. Materialized once, the dictionary is O(individuals) with a known
+    (tiny) size, so the decode joins broadcast and the pair table never
+    shuffles again. The audit agg now reads the checkpoint instead of
+    re-scanning items."""
+    dic = (
+        items.select("individual").distinct()
+        .select(F.xxhash64("individual").alias("code"), "individual")
+        .localCheckpoint(eager=True)
+    )
+    audit = dic.agg(
+        F.count("*").alias("n"), F.countDistinct("code").alias("d")
     ).collect()[0]
     if audit["n"] != audit["d"]:  # ~2^-65 per pair; refuse rather than corrupt
         raise ValueError("xxhash64 collision in individual vocabulary — use dict_encode=False")
-    dic = vocab.select(F.xxhash64("individual").alias("code"), "individual")
     return items.withColumn("individual", F.xxhash64("individual")), dic
 
 
