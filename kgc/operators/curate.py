@@ -20,6 +20,44 @@ BPE_RE = r"('s|'t|'re|'ve|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
 BPE_RE_SQL = BPE_RE.replace("'", "''")  # escaped for the SQL string literal
 
 
+def _quality_exprs(text_col: str) -> dict:
+    """The quality formula's shared sub-expressions — ONE source for
+    quality_features and quality_score_col (the ADVICE-r5 rule: the formula
+    must not fork across consumers)."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(tokens)
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(rf"\b{STOPWORDS}\b"), 1)
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^\w\s])"), 1))
+    stop_ratio = F.round(n_stop / n_tok, 6)
+    punct_ratio = F.round(n_punct / F.length(text_col), 6)
+    quality = F.round(
+        F.least(stop_ratio * 4, F.lit(1.0))
+        * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        * F.when((n_tok >= 5) & (n_tok <= 5000), 1.0).otherwise(0.2),
+        6,
+    )
+    return {
+        "n_tok": n_tok,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality": quality,
+    }
+
+
+def quality_score_col(text_col: str = "text"):
+    """The composite quality heuristic as ONE guarded column expression —
+    0.0 for NULL/empty text (the run_curation rule), the quality_features
+    formula otherwise. The `when` guard keeps ANSI division safe (branch
+    expressions are only evaluated where the condition holds), so a
+    consumer that needs quality_score on EVERY doc row can compute it
+    map-only instead of scoring the non-empty slice and left-joining it
+    back (two full-corpus exchanges + a sort, r6)."""
+    quality = _quality_exprs(text_col)["quality"]
+    return F.when(F.length(F.col(text_col)) > 0, quality).otherwise(F.lit(0.0))
+
+
 def quality_features(
     docs: DataFrame,
     text_col: str = "text",
@@ -35,21 +73,11 @@ def quality_features(
     ``vocab`` (op-60, opt-in) appends an n_subword_tokens column — the
     longest-match count a token-budgeted consumer actually pays. Default
     None keeps the gate schema bit-identical."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_tok = F.size(tokens)
+    q = _quality_exprs(text_col)
+    n_tok, stop_ratio, punct_ratio, quality = (
+        q["n_tok"], q["stop_ratio"], q["punct_ratio"], q["quality"]
+    )
     n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 1))
-    n_stop = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(rf"\b{STOPWORDS}\b"), 1)
-    )
-    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"([^\w\s])"), 1))
-    stop_ratio = F.round(n_stop / n_tok, 6)
-    punct_ratio = F.round(n_punct / F.length(text_col), 6)
-    quality = F.round(
-        F.least(stop_ratio * 4, F.lit(1.0))
-        * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
-        * F.when((n_tok >= 5) & (n_tok <= 5000), 1.0).otherwise(0.2),
-        6,
-    )
     cols = [
         id_col,
         F.length(text_col).alias("n_chars"),

@@ -105,16 +105,31 @@ def detect_mentions_udf(text: pd.Series) -> pd.Series:
     return out
 
 
-def extract_mentions(spans: DataFrame) -> DataFrame:
+def extract_mentions(spans: DataFrame, jvm_prefilter: bool = True) -> DataFrame:
     """op-47 hot path: flat spans → MENTIONS rows via mapInPandas.
 
     Only (doc_id, span_idx, text) cross the Arrow boundary — Catalyst prunes
     media_ref/offset at the scan (nested-schema pruning when reading DOCS).
-    NULL-text (pure-media) spans are dropped INSIDE the batch: a Spark-side
-    filter on a generator-extracted field defeats GeneratorNestedColumnAliasing
-    and would drag every span field through the scan.
+
+    ``jvm_prefilter`` (r6, default on): every pattern in the bank REQUIRES
+    one of four literal markers, so a JVM-side `contains` disjunction drops
+    never-matching spans (filler prose, NULL-text media) BEFORE they are
+    transposed into Arrow batches and shipped to Python — the guide-§4 rule
+    that the byte you control best at the Python boundary is the one that
+    never crosses it. Output is identical: a markerless span yields zero
+    mentions either way. Pass False when `spans` comes straight off the
+    generator (kgc/plans/run.py build_triples_fused): a Spark filter on a
+    generator-extracted field defeats GeneratorNestedColumnAliasing and
+    would drag every span field through the projection — there the NULL/
+    filler rows are still dropped inside the batch as before.
     """
     narrow = spans.select("doc_id", "span_idx", "text")
+    if jvm_prefilter:
+        marker = None
+        for lit in _PREFILTER.values():
+            cond = F.col("text").contains(lit)
+            marker = cond if marker is None else (marker | cond)
+        narrow = narrow.filter(marker)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgc.operators.canon import connected_components
-from kgc.operators.curate import quality_features
 from kgc.operators.dedup import contamination_pairs, minhash_banded_pairs
 from kgc.operators.sample import pack_greedy, quota_sample
 from kgc.plans.run import _stage
@@ -136,14 +135,18 @@ def run_curation(
 
     # -- quality: score every doc, keep quality_score >= min_quality --------
     def build_quality():
-        # quality_features divides by length(text) (ANSI mode: /0 raises),
-        # so empty- or null-text docs — possible in media-only corpora —
-        # are scored 0.0 directly and fall to the quality reject ledger
-        # instead of crashing the stage
-        feats = quality_features(docs.filter(F.length("text") > 0))
-        out = docs.join(feats.select("doc_id", "quality_score"), "doc_id", "left").withColumn(
-            "quality_score", F.coalesce("quality_score", F.lit(0.0))
-        )
+        # quality_score is computed MAP-ONLY on every row (r6): the guarded
+        # quality_score_col expression scores empty/null-text docs 0.0
+        # inline (ANSI-safe — the `when` branch guards the divisions), so
+        # the r5 shape's score-the-non-empty-slice + left-join-back (a
+        # sort-merge self-join: two full-corpus exchanges + sorts inside
+        # the heaviest curation stage) collapses into a projection. Same
+        # rows, same schema/order (doc_id is docs' leading column).
+        from kgc.operators.curate import quality_score_col
+
+        out = docs.select(
+            "doc_id", *[c for c in docs.columns if c != "doc_id"]
+        ).withColumn("quality_score", quality_score_col("text"))
         if max_repetition is not None:
             from kgc.operators.curate import repetition_features
 

@@ -74,6 +74,7 @@ def _stage(
     bucket_by: str | None = None,
     force: bool = False,
     timings: dict[str, float] | None = None,
+    deferred: list | None = None,
 ) -> DataFrame:
     path = os.path.join(workdir, name)
     if not force:
@@ -87,24 +88,50 @@ def _stage(
     df = build()
     cat.write_table(df, path, bucket_by=bucket_by)
     out = cat.read_table(spark, path)
+
     # ONE post-write scan serves both the lineage metrics (op-05) and the
     # manifest row count (op-03). The metric rows are partition-count-sized
     # (one per scan task — bounded, never data-sized), so they are collected
     # once and written driver-side with pyarrow (r6): the r5 shape paid a
     # second Spark job just to write ≤#tasks rows and a third to re-read
     # them for the manifest count.
-    from kgc.plans.metrics import partition_metrics
+    def _finalize() -> None:
+        from kgc.plans.metrics import partition_metrics
 
-    metric_rows = partition_metrics(out, name).collect()
-    mdir = os.path.join(workdir, "stage_metrics", name)
-    _write_metrics_parquet(mdir, metric_rows)
-    n_rows = sum(r["rows_out"] for r in metric_rows)
-    cat.write_manifest(path, name, input_fp, int(n_rows), df.schema.simpleString())
+        spark.sparkContext.setJobDescription(f"stage {name}: op-05 metrics")
+        metric_rows = partition_metrics(out, name).collect()
+        mdir = os.path.join(workdir, "stage_metrics", name)
+        _write_metrics_parquet(mdir, metric_rows)
+        n_rows = sum(r["rows_out"] for r in metric_rows)
+        cat.write_manifest(path, name, input_fp, int(n_rows), df.schema.simpleString())
+
+    if deferred is not None:
+        # Deferred finalize (r6, guide §2.6 overlap rule): the metrics scan
+        # is a Spark job with a long single-task tail relative to its size;
+        # submitting it from a driver thread lets its tasks back-fill
+        # executors while the NEXT stage's build ramps up. Durability is
+        # unchanged — data is fully written before the future is created,
+        # the manifest is written by the future, and run_pipeline JOINS all
+        # futures before returning, so a completed call always leaves
+        # manifests in place and a crash mid-run at worst drops a manifest
+        # (→ that stage recomputes on resume, never reads bad data).
+        deferred.append(_STAGE_META_POOL.submit(_finalize))
+    else:
+        _finalize()
     wall = time.time() - t0
     if timings is not None:
         timings[name] = round(wall, 3)
     print(f"[kgc] stage {name}: computed in {wall:.1f}s")
     return out
+
+
+# Separate pools so a concurrently-running STAGE (which itself submits a
+# deferred finalize) can never starve the finalize queue: §2.6's "2-3 jobs
+# in flight is plenty". Module-level so run_pipeline/run_curation share them.
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_STAGE_META_POOL = _TPE(max_workers=1, thread_name_prefix="kgc-stage-meta")
+_STAGE_RUN_POOL = _TPE(max_workers=1, thread_name_prefix="kgc-stage-run")
 
 
 def run_pipeline(
@@ -151,30 +178,56 @@ def run_pipeline(
     catalog_df = alias_catalog(spark, sf)
     part_of = part_of_dim(spark)
 
-    docs_df = _stage(
-        spark, workdir, "ingest", fp,
-        (lambda: docs) if docs is not None else (lambda: synth_documents(spark, sf)),
-        bucket_by="doc_id", force=force, timings=stage_sec,
-    )
-    mentions = _stage(
-        spark, workdir, "extract", fp,
-        lambda: extract_mentions(explode_spans(docs_df)),
-        bucket_by="doc_id", force=force, timings=stage_sec,
-    )
-    linked = _stage(
-        spark, workdir, "link", fp,
-        lambda: link_mentions(mentions_to_long(mentions), catalog_df),
-        bucket_by="doc_id", force=force, timings=stage_sec,
-    )
-    canon_map = _stage(
-        spark, workdir, "canonicalize", fp,
+    # Deferred stage-finalize futures (see _stage) — joined before EVERY
+    # return so a completed run_pipeline always leaves manifests on disk.
+    deferred: list = []
+
+    def _join_deferred() -> None:
+        for f in deferred:
+            f.result()
+
+    # §2.6 overlap: canonicalize depends only on the (range-derived) alias
+    # catalog, not on any document stage — run it from a driver thread so
+    # its tasks fill executor capacity the doc chain's stage tails leave
+    # idle. Job descriptions/locality are thread-local; stage dirs are
+    # disjoint; stage_sec dict writes are per-key. Exceptions surface at
+    # .result().
+    fut_canon = _STAGE_RUN_POOL.submit(
+        _stage, spark, workdir, "canonicalize", fp,
         lambda: entities_canon_map(salted_dedup(alias_edges(catalog_df), ["src", "dst"])),
-        force=force, timings=stage_sec,
+        None, force, stage_sec, deferred,
     )
+    try:
+        docs_df = _stage(
+            spark, workdir, "ingest", fp,
+            (lambda: docs) if docs is not None else (lambda: synth_documents(spark, sf)),
+            bucket_by="doc_id", force=force, timings=stage_sec, deferred=deferred,
+        )
+        mentions = _stage(
+            spark, workdir, "extract", fp,
+            lambda: extract_mentions(explode_spans(docs_df)),
+            bucket_by="doc_id", force=force, timings=stage_sec, deferred=deferred,
+        )
+        linked = _stage(
+            spark, workdir, "link", fp,
+            lambda: link_mentions(mentions_to_long(mentions), catalog_df),
+            bucket_by="doc_id", force=force, timings=stage_sec, deferred=deferred,
+        )
+    finally:
+        # surface the doc-chain error only after the concurrent stage has
+        # settled (never leave a stage mid-write when the caller sees a
+        # failure from this function)
+        canon_exc = None
+        try:
+            canon_map = fut_canon.result()
+        except Exception as e:  # noqa: BLE001 — re-raised below when primary path succeeds
+            canon_exc = e
+    if canon_exc is not None:
+        raise canon_exc
     triples = _stage(
         spark, workdir, "triples", fp,
         lambda: canonical_triples(assemble_triples(linked), canon_map),
-        bucket_by="subj", force=force, timings=stage_sec,
+        bucket_by="subj", force=force, timings=stage_sec, deferred=deferred,
     )
     tables = {
         "documents": docs_df,
@@ -184,12 +237,16 @@ def run_pipeline(
         "triples": triples,
     }
     if until == "triples":
+        _join_deferred()
         return tables
 
-    attributions = _stage(
-        spark, workdir, "attribute", fp,
+    # §2.6 overlap: attribute and similarity both depend only on `triples`
+    # — run attribute from the pool while the (heavier) similarity stage
+    # builds on the main thread.
+    fut_attr = _STAGE_RUN_POOL.submit(
+        _stage, spark, workdir, "attribute", fp,
         lambda: attribute(triples, part_of),
-        force=force, timings=stage_sec,
+        None, force, stage_sec, deferred,
     )
 
     def build_similar():
@@ -229,18 +286,28 @@ def run_pipeline(
     # WindowGroupLimit then sorts the whole symmetrized stream in one task
     # (measured 2.2 s → 4.6 s). The bucketed write repartitions 1:1 over
     # n_buckets writers, restoring scan parallelism for every consumer.
-    similar = _stage(
-        spark, workdir, "similarity", fp, build_similar,
-        bucket_by="ind_a", force=force, timings=stage_sec,
-    )
+    try:
+        similar = _stage(
+            spark, workdir, "similarity", fp, build_similar,
+            bucket_by="ind_a", force=force, timings=stage_sec, deferred=deferred,
+        )
+    finally:
+        attr_exc = None
+        try:
+            attributions = fut_attr.result()
+        except Exception as e:  # noqa: BLE001 — re-raised when the primary path succeeds
+            attr_exc = e
+    if attr_exc is not None:
+        raise attr_exc
     recs = _stage(
         spark, workdir, "recommend", fp,
         lambda: recommend(triples, similar),
-        force=force, timings=stage_sec,
+        force=force, timings=stage_sec, deferred=deferred,
     )
     tables.update(
         {"attributions": attributions, "similar_to": similar, "recommendations": recs}
     )
+    _join_deferred()
     return tables
 
 
@@ -255,7 +322,11 @@ def build_triples_fused(spark: SparkSession, sf: float, canon_map: DataFrame | N
     if canon_map is None:
         canon_map = entities_canon_map(salted_dedup(alias_edges(catalog_df), ["src", "dst"]))
     docs = synth_documents(spark, sf)
-    linked = link_mentions(mentions_to_long(extract_mentions(explode_spans(docs))), catalog_df)
+    # jvm_prefilter=False: docs come straight off the generator here — a
+    # Spark filter on the generator-extracted text field defeats
+    # GeneratorNestedColumnAliasing (see extract_mentions docstring)
+    mentions = extract_mentions(explode_spans(docs), jvm_prefilter=False)
+    linked = link_mentions(mentions_to_long(mentions), catalog_df)
     return canonical_triples(assemble_triples(linked), canon_map)
 
 

@@ -30,12 +30,31 @@ class TestScanQuality:
         assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,doc-0000000001)]" in plan
 
     def test_nested_schema_pruning_in_extraction(self, spark, docs_path):
-        # the extraction hot path must read ONLY spans.text at the scan —
+        # the prefilter-off hot path must read ONLY spans.text at the scan —
         # media_ref/kind/offset bytes pruned (GeneratorNestedColumnAliasing)
         docs = spark.read.parquet(docs_path)
-        plan = plan_of(extract_mentions(explode_spans(docs)))
+        plan = plan_of(extract_mentions(explode_spans(docs), jvm_prefilter=False))
         read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
         assert "spans:array<struct<text:string>>" in read_schema, read_schema
+
+    def test_extract_prefilter_drops_rows_before_python(self, spark, docs_path):
+        # r6 default: the JVM contains-disjunction must sit BELOW the Python
+        # node so never-matching spans are dropped before the Arrow transpose.
+        # Documented trade-off: the Filter over the Generate defeats
+        # GeneratorNestedColumnAliasing, so the scan reads the full span
+        # struct — measured net-cheaper (the Python boundary is the
+        # expensive side; extract noop 0.76 s → 0.66 s median at sf0.1 with
+        # the widened scan included).
+        docs = spark.read.parquet(docs_path)
+        plan = plan_of(extract_mentions(explode_spans(docs)), "simple")
+        # filter must be a JVM Filter below the Python evaluation node
+        # (simple mode prints parent-first: child Filter on a LATER line)
+        lines = plan.splitlines()
+        py_line = min(i for i, ln in enumerate(lines) if "InPandas" in ln or "EvalPython" in ln)
+        filt_line = min(
+            i for i, ln in enumerate(lines) if "Filter" in ln and "opened email" in ln
+        )
+        assert filt_line > py_line  # deeper in the tree = executed earlier
 
     def test_kind_filter_is_predicate_not_shuffle(self, spark, docs_path):
         df = filter_kind(explode_spans(spark.read.parquet(docs_path)), ["text"])
