@@ -40,6 +40,15 @@ DEFAULT_ROWS = 2
 # Stop-list only near-universal activities: a bit shared by >50% of profiles
 # is ~uninformative for Otsuka–Ochiai ranking but quadratic for blocking.
 HOT_FRACTION = 0.50
+# Broadcast the (vocabulary-sized) profile table into the candidate-pair
+# re-score joins when it has at most this many individuals (~2 KB/profile →
+# ≲200 MB built, far under the 8 GB broadcast cap): the sort-merge
+# alternative shuffles + sorts the CANDIDATE table twice just to attach
+# profiles. Above the threshold (the true 10^12-doc regime) the planner's
+# sort-merge join is the right call and is left alone. The profiles table
+# is always localCheckpointed first, so the deciding count() is a
+# metadata-cheap job over materialized partitions, not a recompute.
+BROADCAST_PROFILE_MAX = 100_000
 
 
 def touch_items(triples: DataFrame) -> DataFrame:
@@ -394,6 +403,11 @@ def candidate_pairs_lsh(
     )
     pa = profiles.select(F.col("individual").alias("ind_a"), F.col("acts").alias("acts_a"), F.col("deg").alias("deg_a"))
     pb = profiles.select(F.col("individual").alias("ind_b"), F.col("acts").alias("acts_b"), F.col("deg").alias("deg_b"))
+    if profiles.count() <= BROADCAST_PROFILE_MAX:
+        # guide §3.1: broadcast the side that fits — otherwise the planner's
+        # default-sized view of the checkpoint sort-merges, shuffling the
+        # candidate table twice to attach profiles (see BROADCAST_PROFILE_MAX)
+        pa, pb = F.broadcast(pa), F.broadcast(pb)
     scored = (
         cand.join(pa, "ind_a")
         .join(pb, "ind_b")
@@ -452,6 +466,10 @@ def rescore_pairs_bitmask(cand: DataFrame, mask_profiles: DataFrame) -> DataFram
     pb = mask_profiles.select(
         F.col("individual").alias("ind_b"), F.col("mask").alias("mask_b"), F.col("deg").alias("deg_b")
     )
+    if mask_profiles.count() <= BROADCAST_PROFILE_MAX:
+        # guide §3.1 — same rule as candidate_pairs_lsh's profile attach
+        # (masks are even narrower: ⌈n_bits/64⌉ longs per row)
+        pa, pb = F.broadcast(pa), F.broadcast(pb)
     scored = (
         cand.join(pa, "ind_a")
         .join(pb, "ind_b")
