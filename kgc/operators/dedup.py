@@ -84,27 +84,34 @@ def minhash_band_keys(
     j=0.9) and tunable per use case, unlike the r2 single-signature blocker
     (b=1, r=1). Returns (id, band_idx, band_key)."""
     n = bands * rows
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat_ws(":", i.cast("string"), s)))
-        ),
+    # r6 execution-shape rewrite (same bytes out): the r5 form computed
+    # sig[i] = array_min(transform(sh, md5(i:s))) as nested higher-order
+    # functions — HOFs run INTERPRETED (no whole-stage codegen), and the
+    # b·r·|sh| md5 calls were the dominant near-dedup cost (2.9 s of the
+    # sf0.1 stage). Exploding shingles once and computing the n seeds as n
+    # ordinary md5 columns keeps every hash inside codegen; the min-per-doc
+    # is a partially-aggregated (map-side combined) groupBy, so the one
+    # added exchange carries only docs × n signature strings — vocabulary-
+    # scale bytes, linear at any corpus size. min(md5-string) over exploded
+    # rows ≡ array_min over the array (same UTF8 ordering, duplicates
+    # irrelevant, and doc_shingles guarantees non-empty sets so no doc is
+    # lost by the explode).
+    ex = shingled.select("id", F.explode("sh").alias("_s"))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(i).cast("string"), F.col("_s")))
+            ).alias(f"_sig{i}")
+            for i in range(n)
+        ]
     )
-    # Double-reference `sh` (size() guard is always true after doc_shingles'
-    # word-count filter) so CollapseProject keeps the shingle construction
-    # in its OWN projection: single-referenced, it gets inlined into the
-    # n-iteration signature transform, whose lambda re-evaluates the
-    # loop-invariant construction per seed — measured 16× the CPU at b=8,
-    # r=2 (the same multi-reference rule the r2 `_words` fix relied on).
-    sig_guarded = F.when(F.size("sh") >= 0, sig)
-    band = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.md5(F.concat_ws("|", F.slice(F.col("_sig"), j * rows + 1, rows))),
+    band = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"_sig{j * rows + i}") for i in range(rows)]))
+            for j in range(bands)
+        ]
     )
-    return (
-        shingled.withColumn("_sig", sig_guarded)
-        .select("id", F.posexplode(band).alias("band_idx", "band_key"))
-    )
+    return mins.select("id", F.posexplode(band).alias("band_idx", "band_key"))
 
 
 def minhash_banded_buckets(
@@ -183,6 +190,14 @@ def minhash_banded_pairs(
     cand = banded_candidates(minhash_band_keys(sh, bands, rows), max_bucket)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # guide §3.1 (r6): below ~50k docs the shingle table (≈3 KB/doc → tens
+    # of MB built) broadcasts into the verify join instead of the planner's
+    # default sort-merge (a localCheckpoint reports default-huge stats),
+    # which shuffled + sorted the CANDIDATE pair table twice just to attach
+    # shingle arrays. Above the threshold the sort-merge shape stands — at
+    # corpus scale the shingle table is the big side and must shuffle.
+    if sh.count() <= 50_000:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     raw = inter.cast("double") / union

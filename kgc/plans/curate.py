@@ -101,6 +101,10 @@ def run_curation(
     --min-quality/--quota/... must invalidate downstream stage manifests,
     not silently resume outputs computed under the old parameters."""
     os.makedirs(workdir, exist_ok=True)
+    # Deferred stage-finalize futures (see kgc/plans/run.py _stage): the
+    # op-05 metrics scan + manifest of each stage overlaps the next stage's
+    # build; all futures are joined before this function returns.
+    deferred: list = []
     shard_tag = "auto" if n_shards is None else str(n_shards)
     rep_tag = "off" if max_repetition is None else f"{max_repetition:g}"
     if tokenizer == "ws":
@@ -123,7 +127,7 @@ def run_curation(
         # materialized pass restores the map-only price (BENCH §2)
         _in = docs
         docs = _stage(spark, workdir, "redact", input_fp, lambda: _redact(_in),
-                      bucket_by="doc_id", force=force)
+                      bucket_by="doc_id", force=force, deferred=deferred)
     rejects: list[DataFrame] = []
 
     def reject(ids: DataFrame, stage: str, reason_col):
@@ -160,7 +164,7 @@ def run_curation(
         return out
 
     scored = _stage(spark, workdir, "quality", input_fp, build_quality,
-                    bucket_by="doc_id", force=force)
+                    bucket_by="doc_id", force=force, deferred=deferred)
     keep_pred = F.col("quality_score") >= min_quality
     if max_repetition is not None:
         keep_pred = keep_pred & (F.col("rep_score") <= max_repetition)
@@ -189,7 +193,7 @@ def run_curation(
         return kept_q.join(keep, "doc_id", "left_semi")
 
     kept_e = _stage(spark, workdir, "exact_dedup", input_fp, build_exact,
-                    bucket_by="doc_id", force=force)
+                    bucket_by="doc_id", force=force, deferred=deferred)
     reject(kept_q.join(kept_e, "doc_id", "left_anti"), "exact_dedup",
            F.lit("exact_duplicate"))
 
@@ -225,7 +229,7 @@ def run_curation(
         return kept_e.join(keep, "doc_id", "left_semi")
 
     kept_n = _stage(spark, workdir, "near_dedup", input_fp, build_near,
-                    bucket_by="doc_id", force=force)
+                    bucket_by="doc_id", force=force, deferred=deferred)
     reject(kept_e.join(kept_n, "doc_id", "left_anti"), "near_dedup",
            F.lit("near_duplicate_cluster_member"))
 
@@ -244,7 +248,7 @@ def run_curation(
         )
 
     kept_d = _stage(spark, workdir, "decontam", input_fp, build_decontam,
-                    bucket_by="doc_id", force=force)
+                    bucket_by="doc_id", force=force, deferred=deferred)
     reject(kept_n.join(kept_d, "doc_id", "left_anti"), "decontam",
            F.when(F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0,
                   "benchmark_slice").otherwise("contaminated"))
@@ -258,7 +262,7 @@ def run_curation(
             return kept_d.join(keep, "doc_id", "left_semi")
 
         kept_s = _stage(spark, workdir, "sample", input_fp, build_sample,
-                        bucket_by="doc_id", force=force)
+                        bucket_by="doc_id", force=force, deferred=deferred)
         reject(kept_d.join(kept_s, "doc_id", "left_anti"), "sample",
                F.lit("over_stratum_quota"))
     else:
@@ -271,7 +275,8 @@ def run_curation(
             tokenizer=tokenizer, vocab=vocab,
         ).select("shard_id", F.col("id").alias("doc_id"), "n_tokens", "bin_id")
 
-    packs = _stage(spark, workdir, "pack", input_fp, build_pack, force=force)
+    packs = _stage(spark, workdir, "pack", input_fp, build_pack, force=force,
+                   deferred=deferred)
 
     def build_rejects():
         out = rejects[0]
@@ -279,8 +284,11 @@ def run_curation(
             out = out.unionByName(r)
         return out
 
-    rejects_df = _stage(spark, workdir, "rejects", input_fp, build_rejects, force=force)
+    rejects_df = _stage(spark, workdir, "rejects", input_fp, build_rejects, force=force,
+                        deferred=deferred)
 
+    for f in deferred:
+        f.result()
     return {
         "scored": scored,
         "corpus": kept_s,
