@@ -66,14 +66,27 @@ def read_index_subbooks(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(_SUBBOOK_SCHEMA).parquet(sub_dir)
 
 
+def _read_data_raw(spark: SparkSession, path: str) -> DataFrame:
+    """The data scan WITHOUT entry recovery — used by the recovery rewrite
+    itself (read_index_data would recurse through _recover_maintain)."""
+    return spark.read.schema(
+        "vec_id long, dv array<double>, dn double, skey string"
+    ).parquet(_dirs(path)[0]).select("vec_id", "dv", "dn", "skey")
+
+
 def read_index_data(spark: SparkSession, path: str) -> DataFrame:
     """(vec_id, dv, dn, skey) — skey is the partition column. The schema
     is explicit so skey is ALWAYS string: an all-unsplit index would
     otherwise infer it as int (every value a bare cell id), and the
-    query-side isin would need a cast that blocks partition pruning."""
-    return spark.read.schema(
-        "vec_id long, dv array<double>, dn double, skey string"
-    ).parquet(_dirs(path)[0]).select("vec_id", "dv", "dn", "skey")
+    query-side isin would need a cast that blocks partition pruning.
+
+    Heals an interrupted maintain on entry (r6): if the `_maintaining`
+    marker is present, the per-cell rewrite re-runs before the scan, so
+    readers never see the duplicated old+new partition layout a crash
+    between overwrite and sweep leaves. One os.path.exists on the healthy
+    path."""
+    _recover_maintain(spark, path)
+    return _read_data_raw(spark, path)
 
 
 def _ranked_subs(vec_col: str, norm_col: str):
@@ -162,6 +175,109 @@ def ivf_index_append(
     rows.write.mode("append").partitionBy("skey").parquet(data_dir)
 
 
+def _maintain_marker(path: str) -> str:
+    return os.path.join(path, "_maintaining.json")
+
+
+def _cell_dirs_on_disk(data_dir: str, cell: int) -> list[str]:
+    """Every skey partition dir currently on disk belonging to `cell` —
+    the bare 'skey=<cell>' dir plus any 'skey=<cell>#<sub>' refinement
+    (both the raw and the %23-escaped encodings writers may produce)."""
+    import glob as _glob
+
+    pats = [
+        os.path.join(data_dir, f"skey={cell}"),
+        os.path.join(data_dir, f"skey={cell}#*"),
+        os.path.join(data_dir, f"skey={cell}%23*"),
+    ]
+    return sorted({d for p in pats for d in _glob.glob(p) if os.path.isdir(d)})
+
+
+def _skey_of_dir(d: str) -> str:
+    return os.path.basename(d)[len("skey="):].replace("%23", "#")
+
+
+def _rewrite_cells(spark: SparkSession, path: str, cells: list[int], n_sub: int) -> None:
+    """The maintain rewrite core for an explicit cell list — converges to
+    the same state from ANY starting layout of those cells (including the
+    duplicated old+new dirs a crash between overwrite and sweep leaves):
+    members are deduplicated on vec_id before the rank, the sub-codebook
+    is a pure function of the member SET, and stale dirs are recomputed
+    from the filesystem rather than from pre-crash bookkeeping."""
+    from pyspark.sql import Window
+
+    data_dir, _, sub_dir = _dirs(path)
+    members = (
+        _read_data_raw(spark, path)
+        .withColumn("cell", F.split("skey", "#")[0].cast("long"))
+        .filter(F.col("cell").isin(cells))
+        .dropDuplicates(["vec_id"])  # heal post-crash double reads (ADVICE r5)
+        .localCheckpoint(eager=True)
+    )
+    # op-58's sub-codebook rule, verbatim, over ALL current members
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(
+            F.concat_ws(":", F.lit("sub"), F.col("cell").cast("string"),
+                        F.col("vec_id").cast("string"))
+        ).asc(),
+        F.col("vec_id").asc(),
+    )
+    new_subs = (
+        members.withColumn("_srk", F.row_number().over(w))
+        .filter(F.col("_srk") <= n_sub)
+        .select(
+            "cell", (F.col("_srk") - 1).cast("int").alias("sub_id"),
+            F.col("dv").alias("scv"), F.col("dn").alias("scn"),
+        )
+    )
+    # subbooks dim rewrite: keep other cells' entries, replace hot cells'
+    kept_subs = read_index_subbooks(spark, path).filter(~F.col("cell").isin(cells))
+    merged_subs = kept_subs.unionByName(new_subs)
+    from kgc.streaming.dedup import _swap_rewrite
+
+    if os.path.isdir(sub_dir):
+        _swap_rewrite(merged_subs, sub_dir)
+    else:
+        merged_subs.write.mode("overwrite").parquet(sub_dir)
+
+    # rewrite hot-cell rows under their refined skeys (dynamic overwrite
+    # touches only the partitions this write produces); stale dirs are
+    # whatever the FILESYSTEM holds for these cells minus the new keys
+    old_dirs = [d for c in cells for d in _cell_dirs_on_disk(data_dir, c)]
+    new_rows = _with_skey(
+        members.select("vec_id", "dv", "dn", "cell"),
+        spark.read.schema(_SUBBOOK_SCHEMA).parquet(sub_dir),
+    ).localCheckpoint(eager=True)  # materialize BEFORE overwriting source dirs
+    new_keys = {r["skey"] for r in new_rows.select("skey").distinct().collect()}
+    (
+        new_rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("skey")
+        .parquet(data_dir)
+    )
+    for d in old_dirs:
+        if _skey_of_dir(d) not in new_keys:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _recover_maintain(spark: SparkSession, path: str) -> None:
+    """If a crash interrupted ivf_index_maintain, its marker names the
+    cells mid-rewrite; re-running the (idempotent, dedup-first) rewrite
+    for exactly those cells converges the index, after which the marker
+    drops. No marker → no-op (ADVICE r5: the _recover_flush discipline,
+    applied to the batch compactor)."""
+    import json as _json
+
+    marker = _maintain_marker(path)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        state = _json.load(f)
+    if state["cells"]:
+        _rewrite_cells(spark, path, state["cells"], int(state["n_sub"]))
+    os.remove(marker)
+
+
 def ivf_index_maintain(
     spark: SparkSession,
     path: str,
@@ -180,11 +296,31 @@ def ivf_index_maintain(
     Rewrite mechanics: hot-cell rows are rewritten via dynamic partition
     overwrite (only their skey dirs), then stale dirs of those cells that
     the new assignment no longer produces (e.g. the unsplit 'cell' dir)
-    are swept. Quiesced-index precondition, like every compactor here.
-    """
-    from pyspark.sql import Window
+    are swept. Crash-safe (r6, ADVICE r5): a `_maintaining.json` marker
+    written before any mutation names the cells in flight, entry recovery
+    re-runs the idempotent per-cell rewrite (members deduped on vec_id,
+    stale dirs recomputed from the filesystem), so a crash at ANY point —
+    including between the overwrite and the sweep — heals on the next
+    maintain. Quiesced-index precondition otherwise, like every compactor.
 
-    data_dir, _, sub_dir = _dirs(path)
+    Refuses while the STREAMING delta tier holds un-flushed rows (ADVICE
+    r5): delta rows carry ingest-time skeys; flushing them after this
+    rewrite would resurrect bare 'cell' partitions that pruned queries of
+    a split cell never probe. Flush (with split_threshold) first.
+    """
+    import json as _json
+
+    _recover_maintain(spark, path)
+    for pending in ("delta", "delta.flushing"):
+        d = os.path.join(path, pending)
+        if os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            raise ValueError(
+                f"ivf_index_maintain: un-flushed streaming rows in {d} — "
+                "run ivf_index_flush(split_threshold=...) first (their "
+                "ingest-time skeys would go stale under this rewrite)"
+            )
     data = read_index_data(spark, path).withColumn(
         "cell", F.split("skey", "#")[0].cast("long")
     )
@@ -193,53 +329,11 @@ def ivf_index_maintain(
     if not hot:
         return []
 
-    members = data.filter(F.col("cell").isin(hot)).localCheckpoint(eager=True)
-    # op-58's sub-codebook rule, verbatim, over ALL current members
-    w = Window.partitionBy("cell").orderBy(
-        F.md5(
-            F.concat_ws(":", F.lit("sub"), F.col("cell").cast("string"),
-                        F.col("vec_id").cast("string"))
-        ).asc(),
-        F.col("vec_id").asc(),
-    )
-    new_subs = (
-        members.withColumn("_srk", F.row_number().over(w))
-        .filter(F.col("_srk") <= n_sub)
-        .select(
-            "cell", (F.col("_srk") - 1).cast("int").alias("sub_id"),
-            F.col("dv").alias("scv"), F.col("dn").alias("scn"),
-        )
-    )
-    # subbooks dim rewrite: keep other cells' entries, replace hot cells'
-    kept_subs = read_index_subbooks(spark, path).filter(~F.col("cell").isin(hot))
-    merged_subs = kept_subs.unionByName(new_subs)
-    from kgc.streaming.dedup import _swap_rewrite
-
-    if os.path.isdir(sub_dir):
-        _swap_rewrite(merged_subs, sub_dir)
-    else:
-        merged_subs.write.mode("overwrite").parquet(sub_dir)
-
-    # rewrite hot-cell rows under their refined skeys (dynamic overwrite
-    # touches only the partitions this write produces)
-    old_keys = {r["skey"] for r in members.select("skey").distinct().collect()}
-    new_rows = _with_skey(
-        members.select("vec_id", "dv", "dn", "cell"),
-        spark.read.schema(_SUBBOOK_SCHEMA).parquet(sub_dir),
-    ).localCheckpoint(eager=True)  # materialize BEFORE overwriting source dirs
-    new_keys = {r["skey"] for r in new_rows.select("skey").distinct().collect()}
-    (
-        new_rows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("skey")
-        .parquet(data_dir)
-    )
-    for stale in old_keys - new_keys:
-        shutil.rmtree(
-            os.path.join(data_dir, f"skey={stale.replace('#', '%23')}"),
-            ignore_errors=True,
-        )
-        shutil.rmtree(os.path.join(data_dir, f"skey={stale}"), ignore_errors=True)
+    marker = _maintain_marker(path)
+    with open(marker, "w") as f:
+        _json.dump({"cells": hot, "n_sub": n_sub}, f)
+    _rewrite_cells(spark, path, hot, n_sub)
+    os.remove(marker)
     return sorted(hot)
 
 

@@ -136,6 +136,77 @@ class TestIncrementalIvf:
         assert _rows(read_index_data(spark, path)) == d1
         assert _rows(read_index_subbooks(spark, path)) == s1
 
+    def test_crash_mid_maintain_recovers(self, spark, tmp_path):
+        """r6 (ADVICE r5): a crash between maintain's dynamic partition
+        overwrite and its stale-dir sweep leaves a hot cell's rows in BOTH
+        the bare 'skey=<cell>' dir and the new 'skey=<cell>#<sub>' dirs.
+        The `_maintaining` marker + dedup-first rewrite must heal that
+        layout — from the read path AND from a re-run of maintain."""
+        import json
+        import os
+        import shutil
+
+        from kgc.operators.ann_index import _maintain_marker
+
+        cents = _centroids(spark)
+        emb = skewed_corpus(spark, 300).localCheckpoint(eager=True)
+
+        def fresh(name):
+            p = str(tmp_path / name)
+            ivf_index_build(emb, p, centroids=cents)
+            return p
+
+        clean = fresh("clean")
+        split = ivf_index_maintain(spark, clean, self.THRESH, self.N_SUB)
+        assert split, "corpus must plant a hot cell"
+        hot = split[0]
+        want = _rows(read_index_data(spark, clean))
+        want_subs = _rows(read_index_subbooks(spark, clean))
+
+        def crashed(name):
+            """Final post-maintain layout PLUS the resurrected pre-sweep
+            bare dir of the hot cell (duplicate rows) and the marker."""
+            p = fresh(name)
+            pre_hot = os.path.join(str(tmp_path / f"{name}_prehot"))
+            shutil.copytree(
+                os.path.join(p, "data", f"skey={hot}"), pre_hot
+            )
+            ivf_index_maintain(spark, p, self.THRESH, self.N_SUB)
+            shutil.copytree(pre_hot, os.path.join(p, "data", f"skey={hot}"))
+            with open(_maintain_marker(p), "w") as f:
+                json.dump({"cells": [hot], "n_sub": self.N_SUB}, f)
+            return p
+
+        # heal on READ: read_index_data triggers recovery
+        a = crashed("crash_a")
+        data_a = read_index_data(spark, a)
+        assert _rows(data_a) == want
+        assert data_a.count() == data_a.select("vec_id").distinct().count()
+        assert not os.path.exists(_maintain_marker(a))
+        assert _rows(read_index_subbooks(spark, a)) == want_subs
+
+        # heal on RE-RUN: maintain recovers first, then finds nothing new
+        b = crashed("crash_b")
+        ivf_index_maintain(spark, b, self.THRESH, self.N_SUB)
+        assert _rows(read_index_data(spark, b)) == want
+        assert not os.path.exists(_maintain_marker(b))
+
+    def test_maintain_refuses_unflushed_delta(self, spark, tmp_path):
+        """r6 (ADVICE r5): maintain must refuse while the streaming delta
+        tier holds rows — their ingest-time skeys would go stale under the
+        rewrite and a later plain flush would resurrect swept partitions."""
+        from kgc.streaming.ann_index import _ingest_batch, ivf_index_flush
+
+        cents = _centroids(spark)
+        emb = skewed_corpus(spark, 300).localCheckpoint(eager=True)
+        path = str(tmp_path / "guard")
+        ivf_index_build(emb.filter(F.col("vec_id") < 200), path, centroids=cents)
+        _ingest_batch(spark, emb.filter(F.col("vec_id") >= 200), 0, path)
+        with pytest.raises(ValueError, match="un-flushed"):
+            ivf_index_maintain(spark, path, self.THRESH, self.N_SUB)
+        ivf_index_flush(spark, path)
+        ivf_index_maintain(spark, path, self.THRESH, self.N_SUB)  # now fine
+
     def test_external_query_batch(self, spark, tmp_path):
         """Queries that are NOT in the index probe it without being
         indexed: every result id is a stored vector, none a query id."""
