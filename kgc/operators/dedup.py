@@ -72,7 +72,7 @@ def doc_shingles(
 
 
 def minhash_band_keys(
-    shingled: DataFrame, bands: int = 8, rows: int = 2
+    shingled: DataFrame, bands: int = 8, rows: int = 2, agg_shape: bool = False
 ) -> DataFrame:
     """b×r banded MinHash blocking keys over doc_shingles() output.
 
@@ -84,34 +84,61 @@ def minhash_band_keys(
     j=0.9) and tunable per use case, unlike the r2 single-signature blocker
     (b=1, r=1). Returns (id, band_idx, band_key)."""
     n = bands * rows
-    # r6 execution-shape rewrite (same bytes out): the r5 form computed
-    # sig[i] = array_min(transform(sh, md5(i:s))) as nested higher-order
-    # functions — HOFs run INTERPRETED (no whole-stage codegen), and the
-    # b·r·|sh| md5 calls were the dominant near-dedup cost (2.9 s of the
-    # sf0.1 stage). Exploding shingles once and computing the n seeds as n
-    # ordinary md5 columns keeps every hash inside codegen; the min-per-doc
-    # is a partially-aggregated (map-side combined) groupBy, so the one
-    # added exchange carries only docs × n signature strings — vocabulary-
-    # scale bytes, linear at any corpus size. min(md5-string) over exploded
-    # rows ≡ array_min over the array (same UTF8 ordering, duplicates
-    # irrelevant, and doc_shingles guarantees non-empty sets so no doc is
-    # lost by the explode).
-    ex = shingled.select("id", F.explode("sh").alias("_s"))
-    mins = ex.groupBy("id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(i).cast("string"), F.col("_s")))
-            ).alias(f"_sig{i}")
-            for i in range(n)
-        ]
+    if agg_shape:
+        # r6 alternate execution shape (same bytes out), for consumers that
+        # MATERIALIZE the band keys (banded_candidates localCheckpoints
+        # them): the HOF form below runs INTERPRETED (higher-order
+        # functions don't whole-stage-codegen), so exploding shingles once
+        # and computing the n seeds as ordinary md5 columns under a
+        # map-side-combined min groupBy keeps every hash in codegen —
+        # measured 2.9 s → 2.0 s materializing sf0.1 band keys (banded
+        # pairs 4.4 → 3.3 s, jaccard gate query 2.8 → 1.6 s). min(md5) over
+        # exploded rows ≡ array_min over the array (same UTF8 ordering,
+        # duplicates irrelevant, doc_shingles guarantees non-empty sets).
+        # NOT the default: the n var-width string mins force an
+        # ObjectHashAggregate, so for one-shot LAZY consumers (the buckets
+        # gate query aggregates the keys straight away) this shape is
+        # measurably WORSE (1.8 → 4.4 s) — those keep the map-only HOF form
+        # whose output flows directly into their own aggregation.
+        ex = shingled.select("id", F.explode("sh").alias("_s"))
+        mins = ex.groupBy("id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat_ws(":", F.lit(i).cast("string"), F.col("_s")))
+                ).alias(f"_sig{i}")
+                for i in range(n)
+            ]
+        )
+        band = F.array(
+            *[
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"_sig{j * rows + i}") for i in range(rows)])
+                )
+                for j in range(bands)
+            ]
+        )
+        return mins.select("id", F.posexplode(band).alias("band_idx", "band_key"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat_ws(":", i.cast("string"), s)))
+        ),
     )
-    band = F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.col(f"_sig{j * rows + i}") for i in range(rows)]))
-            for j in range(bands)
-        ]
+    # Double-reference `sh` (size() guard is always true after doc_shingles'
+    # word-count filter) so CollapseProject keeps the shingle construction
+    # in its OWN projection: single-referenced, it gets inlined into the
+    # n-iteration signature transform, whose lambda re-evaluates the
+    # loop-invariant construction per seed — measured 16× the CPU at b=8,
+    # r=2 (the same multi-reference rule the r2 `_words` fix relied on).
+    sig_guarded = F.when(F.size("sh") >= 0, sig)
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(F.concat_ws("|", F.slice(F.col("_sig"), j * rows + 1, rows))),
     )
-    return mins.select("id", F.posexplode(band).alias("band_idx", "band_key"))
+    return (
+        shingled.withColumn("_sig", sig_guarded)
+        .select("id", F.posexplode(band).alias("band_idx", "band_key"))
+    )
 
 
 def minhash_banded_buckets(
@@ -187,7 +214,10 @@ def minhash_banded_pairs(
     cost runs three times (r3 review finding).
     """
     sh = doc_shingles(docs, k).localCheckpoint(eager=True)
-    cand = banded_candidates(minhash_band_keys(sh, bands, rows), max_bucket)
+    # agg_shape: the band keys are materialized right away (banded_candidates
+    # checkpoints them), which is the regime where the codegen agg rendering
+    # wins — see minhash_band_keys
+    cand = banded_candidates(minhash_band_keys(sh, bands, rows, agg_shape=True), max_bucket)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     # guide §3.1 (r6): below ~50k docs the shingle table (≈3 KB/doc → tens
