@@ -72,8 +72,11 @@ def main() -> None:
         df = None
         for i in range(args.repeats):
             sc.setJobDescription(f"{name} [{i}]")
-            df = build()
+            # build() INSIDE the timed region: eager localCheckpoints and
+            # driver-side iteration (CC) execute at build time and are part
+            # of the operator's honest cost
             t0 = time.time()
+            df = build()
             action(df)
             runs.append(round(time.time() - t0, 3))
         sc.setJobDescription(None)
